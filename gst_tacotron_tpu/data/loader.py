@@ -1,0 +1,204 @@
+"""Host-side input pipeline (reference Feeder.py; SURVEY.md §3.5).
+
+A grain-style loader: deterministic sampling, length-bucketed FIXED-shape
+batches (one XLA program per bucket — SURVEY.md §7 hard part 6), reduction-
+factor-aligned mel padding, per-host sharding for multi-host data
+parallelism, and a bounded background prefetch queue (the reference's feeder
+thread, kept — but everything on the device side of the queue is jit).
+
+Batch dict fields (reference Get_Pattern surface, SURVEY.md §2.1):
+  tokens        (B, L_bucket) int32, PAD=0
+  token_lengths (B,) int32
+  mel           (B, T_bucket, num_mels) f32   (T_bucket % r == 0)
+  mel_lengths   (B,) int32  (also r-aligned, <= T_bucket)
+  linear        (B, T_bucket, num_freq) f32
+  speaker_ids   (B,) int32
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import queue
+import threading
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..config import DataConfig
+
+Batch = Dict[str, np.ndarray]
+
+
+@dataclass
+class BucketSpec:
+    max_text: int
+    max_frames: int  # r-aligned at construction
+
+
+def _align_up(x: int, r: int) -> int:
+    return ((x + r - 1) // r) * r
+
+
+class PatternDataset:
+    """Metadata-indexed view over a pattern directory."""
+
+    def __init__(self, pattern_dir: str, metadata_file: str = "metadata.json"):
+        self.pattern_dir = pattern_dir
+        with open(os.path.join(pattern_dir, metadata_file)) as f:
+            self.metadata = json.load(f)
+        self.entries = self.metadata["entries"]
+        self.num_speakers = max(1, int(self.metadata.get("num_speakers", 1)))
+
+    def __len__(self) -> int:
+        return len(self.entries)
+
+    def load(self, idx: int) -> Dict[str, np.ndarray]:
+        entry = self.entries[idx]
+        with np.load(os.path.join(self.pattern_dir, entry["file"]),
+                     allow_pickle=False) as z:
+            return {
+                "tokens": z["tokens"],
+                "mel": z["mel"],
+                "linear": z["linear"],
+                "speaker_id": z["speaker_id"],
+            }
+
+
+class BucketedLoader:
+    """Deterministic, shardable, bucketed batch iterator with prefetch."""
+
+    def __init__(
+        self,
+        dataset: PatternDataset,
+        cfg: DataConfig,
+        reduction_factor: int,
+        *,
+        batch_size: Optional[int] = None,
+        shard_index: int = 0,
+        num_shards: int = 1,
+        seed: int = 0,
+        drop_remainder: bool = True,
+    ):
+        self.dataset = dataset
+        self.cfg = cfg
+        self.r = reduction_factor
+        self.batch_size = batch_size or cfg.batch_size
+        self.shard_index = shard_index
+        self.num_shards = num_shards
+        self.seed = seed
+        self.drop_remainder = drop_remainder
+
+        self.buckets = [
+            BucketSpec(t, _align_up(f, self.r)) for t, f in cfg.buckets
+        ]
+        # Assign each entry to its smallest fitting bucket.
+        self.bucket_members: List[List[int]] = [[] for _ in self.buckets]
+        for i, e in enumerate(dataset.entries):
+            if e["text_len"] < cfg.min_text_len:
+                continue
+            for b, spec in enumerate(self.buckets):
+                if e["text_len"] <= spec.max_text and e["mel_len"] <= spec.max_frames:
+                    self.bucket_members[b].append(i)
+                    break
+
+    # -- batch assembly -----------------------------------------------------
+
+    def _assemble(self, indices: Sequence[int], spec: BucketSpec) -> Batch:
+        n = len(indices)
+        num_mels = self.dataset.load(indices[0])["mel"].shape[1]
+        num_freq = self.dataset.load(indices[0])["linear"].shape[1]
+        tokens = np.zeros((n, spec.max_text), np.int32)
+        token_lengths = np.zeros((n,), np.int32)
+        mel = np.zeros((n, spec.max_frames, num_mels), np.float32)
+        linear = np.zeros((n, spec.max_frames, num_freq), np.float32)
+        mel_lengths = np.zeros((n,), np.int32)
+        speaker_ids = np.zeros((n,), np.int32)
+        for j, idx in enumerate(indices):
+            item = self.dataset.load(idx)
+            t = item["tokens"][: spec.max_text]
+            tokens[j, : len(t)] = t
+            token_lengths[j] = len(t)
+            m = item["mel"][: spec.max_frames]
+            l = item["linear"][: spec.max_frames]
+            # r-aligned true length (frames beyond are zero-padding)
+            mlen = _align_up(m.shape[0], self.r)
+            mlen = min(mlen, spec.max_frames)
+            mel[j, : m.shape[0]] = m
+            linear[j, : l.shape[0]] = l
+            mel_lengths[j] = mlen
+            speaker_ids[j] = int(item["speaker_id"])
+        return {
+            "tokens": tokens,
+            "token_lengths": token_lengths,
+            "mel": mel,
+            "mel_lengths": mel_lengths,
+            "linear": linear,
+            "speaker_ids": speaker_ids,
+        }
+
+    # -- epoch plan ---------------------------------------------------------
+
+    def _epoch_batches(self, epoch: int) -> List[Tuple[List[int], BucketSpec]]:
+        rng = np.random.default_rng((self.seed, epoch))
+        plan: List[Tuple[List[int], BucketSpec]] = []
+        for spec, members in zip(self.buckets, self.bucket_members):
+            if not members:
+                continue
+            order = np.array(members)[rng.permutation(len(members))]
+            # per-host shard AFTER shuffling so hosts see disjoint data
+            order = order[self.shard_index :: self.num_shards]
+            for s in range(0, len(order), self.batch_size):
+                chunk = order[s : s + self.batch_size].tolist()
+                if len(chunk) < self.batch_size:
+                    if self.drop_remainder:
+                        continue
+                    # wrap-around fill keeps the batch shape static
+                    deficit = self.batch_size - len(chunk)
+                    chunk = chunk + order[:deficit].tolist()
+                plan.append((chunk, spec))
+        rng.shuffle(plan)
+        return plan
+
+    # -- iteration ----------------------------------------------------------
+
+    def epoch(self, epoch: int = 0) -> Iterator[Batch]:
+        for indices, spec in self._epoch_batches(epoch):
+            yield self._assemble(indices, spec)
+
+    def __iter__(self) -> Iterator[Batch]:
+        """Infinite stream over epochs with background prefetch."""
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.cfg.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            epoch = 0
+            while not stop.is_set():
+                for batch in self.epoch(epoch):
+                    if stop.is_set():
+                        return
+                    out_q.put(batch)
+                epoch += 1
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                yield out_q.get()
+        finally:
+            stop.set()
+            # drain so the producer can observe the stop flag
+            try:
+                while True:
+                    out_q.get_nowait()
+            except queue.Empty:
+                pass
+
+
+def make_loader(pattern_dir: str, cfg: DataConfig, reduction_factor: int,
+                **kwargs) -> BucketedLoader:
+    return BucketedLoader(
+        PatternDataset(pattern_dir, cfg.metadata_file), cfg, reduction_factor,
+        **kwargs,
+    )

@@ -1,0 +1,279 @@
+"""Offline pattern generation (reference Pattern_Generator.py; SURVEY.md §3.1).
+
+Walks a corpus, cleans/tokenizes transcripts, extracts mel + linear features
+via the DSP layer, and writes one ``.npz`` pattern per utterance plus a JSON
+metadata index with lengths (used for bucketing by the loader). Supported
+corpora:
+
+  * ``ljspeech`` — single speaker; `metadata.csv` + `wavs/*.wav` layout.
+  * ``vctk`` — multi-speaker; `txt/<spk>/*.txt` + `wav48/<spk>/*.wav` layout
+    (config 4, BASELINE.json:10).
+  * ``synthetic`` — a deterministic procedurally-generated corpus (formant-ish
+    harmonic stacks driven by the token sequence) so the full train/synth
+    pipeline can run end-to-end in environments with no audio data, and so
+    tests have a corpus fixture.
+
+Wav IO uses scipy (no librosa/soundfile in this environment). Feature
+extraction runs in worker processes (the reference loops serially;
+SURVEY.md §3.1 "embarrassingly parallel").
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from concurrent.futures import ProcessPoolExecutor
+from dataclasses import dataclass
+from typing import Iterable, List, Optional, Tuple
+
+import numpy as np
+from scipy.io import wavfile
+
+from ..config import AudioConfig, Config, get_preset, load_config
+from ..dsp import ref as dsp_ref
+from ..text import text_to_ids
+
+METADATA_FILE = "metadata.json"
+
+
+@dataclass
+class Utterance:
+    utt_id: str
+    text: str
+    wav_path: Optional[str]  # None for synthetic
+    speaker: str
+    speaker_id: int
+
+
+# ---------------------------------------------------------------------------
+# Corpus walkers
+# ---------------------------------------------------------------------------
+
+
+def walk_ljspeech(root: str) -> List[Utterance]:
+    utts = []
+    meta = os.path.join(root, "metadata.csv")
+    with open(meta, encoding="utf-8") as f:
+        for line in f:
+            parts = line.rstrip("\n").split("|")
+            if len(parts) < 2:
+                continue
+            utt_id = parts[0]
+            text = parts[2] if len(parts) > 2 and parts[2] else parts[1]
+            wav = os.path.join(root, "wavs", utt_id + ".wav")
+            utts.append(Utterance(utt_id, text, wav, "LJ", 0))
+    return utts
+
+
+def walk_vctk(root: str) -> List[Utterance]:
+    utts = []
+    txt_root = os.path.join(root, "txt")
+    speakers = sorted(os.listdir(txt_root)) if os.path.isdir(txt_root) else []
+    for spk_idx, spk in enumerate(speakers):
+        spk_dir = os.path.join(txt_root, spk)
+        for fname in sorted(os.listdir(spk_dir)):
+            if not fname.endswith(".txt"):
+                continue
+            utt_id = fname[:-4]
+            with open(os.path.join(spk_dir, fname), encoding="utf-8") as f:
+                text = f.read().strip()
+            wav = None
+            for wav_dir in ("wav48", "wav"):
+                cand = os.path.join(root, wav_dir, spk, utt_id + ".wav")
+                if os.path.exists(cand):
+                    wav = cand
+                    break
+            if wav:
+                utts.append(Utterance(utt_id, text, wav, spk, spk_idx))
+    return utts
+
+
+_SYNTH_SENTENCES = [
+    "the quick brown fox jumps over the lazy dog.",
+    "she sells sea shells by the sea shore.",
+    "a stitch in time saves nine.",
+    "all that glitters is not gold.",
+    "actions speak louder than words.",
+    "the early bird catches the worm.",
+    "practice makes perfect every day.",
+    "better late than never they say.",
+    "every cloud has a silver lining.",
+    "fortune favors the bold and the brave.",
+    "honesty is the best policy in the end.",
+    "knowledge is power and power is knowledge.",
+    "look before you leap into the water.",
+    "no news is good news for the waiting.",
+    "the pen is mightier than the sword.",
+    "when in rome do as the romans do.",
+]
+
+
+def synthetic_utterances(n: int, num_speakers: int = 1) -> List[Utterance]:
+    utts = []
+    for i in range(n):
+        text = _SYNTH_SENTENCES[i % len(_SYNTH_SENTENCES)]
+        spk = i % num_speakers
+        utts.append(Utterance(f"synth_{i:05d}", text, None, f"S{spk}", spk))
+    return utts
+
+
+def synthesize_wav(utt: Utterance, audio: AudioConfig) -> np.ndarray:
+    """Deterministic token-driven harmonic stack standing in for speech.
+
+    Each token contributes a short segment whose fundamental and formant mix
+    depend on the token id, so mel content correlates with text — enough
+    signal for attention to have something to align to in smoke training.
+    """
+    tokens = text_to_ids(utt.text)
+    seg = int(0.08 * audio.sample_rate)
+    rng = np.random.default_rng(abs(hash(utt.utt_id)) % (2 ** 32))
+    pieces = []
+    phase = 0.0
+    for tok in tokens:
+        f0 = 90.0 + 12.0 * (tok % 23) + 25.0 * utt.speaker_id
+        t = np.arange(seg) / audio.sample_rate
+        sig = np.zeros(seg)
+        for h, amp in ((1, 1.0), (2, 0.5), (3, 0.3), (4, 0.2)):
+            sig += amp * np.sin(2 * np.pi * f0 * h * t + phase)
+        formant = 500.0 + 80.0 * (tok % 11)
+        sig *= 0.6 + 0.4 * np.sin(2 * np.pi * formant * t / 100.0)
+        env = np.minimum(1.0, np.minimum(np.arange(seg), seg - np.arange(seg)) / (0.1 * seg))
+        pieces.append(0.3 * sig * env + 0.005 * rng.standard_normal(seg))
+        phase += 2 * np.pi * f0 * seg / audio.sample_rate
+    return np.concatenate(pieces).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Feature extraction
+# ---------------------------------------------------------------------------
+
+
+def load_wav(path: str, target_sr: int) -> np.ndarray:
+    sr, data = wavfile.read(path)
+    if data.dtype == np.int16:
+        wav = data.astype(np.float32) / 32768.0
+    elif data.dtype == np.int32:
+        wav = data.astype(np.float32) / 2147483648.0
+    else:
+        wav = data.astype(np.float32)
+    if wav.ndim > 1:
+        wav = wav.mean(axis=1)
+    if sr != target_sr:
+        # polyphase resample
+        from scipy.signal import resample_poly
+        from math import gcd
+
+        g = gcd(sr, target_sr)
+        wav = resample_poly(wav, target_sr // g, sr // g).astype(np.float32)
+    return wav
+
+
+def extract_pattern(utt: Utterance, audio: AudioConfig, out_dir: str,
+                    reduction_factor: int = 1) -> Optional[dict]:
+    """Extract and write one pattern file; returns its metadata entry."""
+    tokens = np.asarray(text_to_ids(utt.text), np.int32)
+    if utt.wav_path is None:
+        wav = synthesize_wav(utt, audio)
+    else:
+        wav = load_wav(utt.wav_path, audio.sample_rate)
+        wav = dsp_ref.trim_silence(wav, audio)
+    if len(wav) < audio.n_fft:
+        return None
+    peak = np.abs(wav).max()
+    if peak > 1.0:
+        wav = wav / peak
+
+    mel = dsp_ref.melspectrogram(wav, audio)
+    linear = dsp_ref.spectrogram(wav, audio)
+
+    path = os.path.join(out_dir, utt.utt_id + ".npz")
+    np.savez_compressed(
+        path,
+        tokens=tokens,
+        mel=mel.astype(np.float32),
+        linear=linear.astype(np.float32),
+        speaker_id=np.int32(utt.speaker_id),
+        text=np.str_(utt.text),
+    )
+    return {
+        "id": utt.utt_id,
+        "file": os.path.basename(path),
+        "text_len": int(len(tokens)),
+        "mel_len": int(mel.shape[0]),
+        "speaker_id": int(utt.speaker_id),
+        "speaker": utt.speaker,
+    }
+
+
+def generate_patterns(
+    utts: Iterable[Utterance],
+    audio: AudioConfig,
+    out_dir: str,
+    num_workers: int = 1,
+    max_text_len: int = 10000,
+    max_mel_frames: int = 100000,
+) -> dict:
+    os.makedirs(out_dir, exist_ok=True)
+    utts = list(utts)
+    entries = []
+    if num_workers > 1:
+        with ProcessPoolExecutor(num_workers) as pool:
+            results = pool.map(
+                extract_pattern, utts, [audio] * len(utts), [out_dir] * len(utts)
+            )
+    else:
+        results = (extract_pattern(u, audio, out_dir) for u in utts)
+    for entry in results:
+        if entry is None:
+            continue
+        if entry["text_len"] > max_text_len or entry["mel_len"] > max_mel_frames:
+            continue
+        entries.append(entry)
+
+    speakers = sorted({e["speaker"] for e in entries})
+    metadata = {
+        "audio": {
+            "sample_rate": audio.sample_rate,
+            "n_fft": audio.n_fft,
+            "hop_length": audio.hop_length,
+            "num_mels": audio.num_mels,
+        },
+        "num_speakers": len(speakers),
+        "speakers": speakers,
+        "entries": entries,
+    }
+    with open(os.path.join(out_dir, METADATA_FILE), "w") as f:
+        json.dump(metadata, f)
+    return metadata
+
+
+def main(argv: Optional[List[str]] = None) -> None:
+    p = argparse.ArgumentParser(description="Offline pattern generation")
+    p.add_argument("--corpus", choices=["ljspeech", "vctk", "synthetic"],
+                   required=True)
+    p.add_argument("--path", help="corpus root (ljspeech/vctk)")
+    p.add_argument("--out", required=True, help="output pattern directory")
+    p.add_argument("--config", help="config JSON (default: preset taco1_lj)")
+    p.add_argument("--num-utterances", type=int, default=200,
+                   help="synthetic corpus size")
+    p.add_argument("--num-speakers", type=int, default=1,
+                   help="synthetic speaker count")
+    p.add_argument("--workers", type=int, default=os.cpu_count() or 1)
+    args = p.parse_args(argv)
+
+    cfg: Config = load_config(args.config) if args.config else get_preset("taco1_lj")
+    if args.corpus == "ljspeech":
+        utts = walk_ljspeech(args.path)
+    elif args.corpus == "vctk":
+        utts = walk_vctk(args.path)
+    else:
+        utts = synthetic_utterances(args.num_utterances, args.num_speakers)
+    meta = generate_patterns(utts, cfg.audio, args.out, num_workers=args.workers,
+                             max_text_len=cfg.data.max_text_len,
+                             max_mel_frames=cfg.data.max_mel_frames)
+    print(f"wrote {len(meta['entries'])} patterns to {args.out}")
+
+
+if __name__ == "__main__":
+    main()

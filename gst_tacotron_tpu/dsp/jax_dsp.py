@@ -1,0 +1,248 @@
+"""JAX DSP — the on-device feature/vocoding path.
+
+TPU-native counterpart of the reference's Audio.py (SURVEY.md §2.1 "Audio
+DSP", §2.2 native accounting): feature extraction runs on-device behind the
+host loader, Griffin-Lim is one jitted ``lax.fori_loop`` (the reference loops
+~60 python iterations over librosa's C FFT), and the inverse-preemphasis IIR
+is a ``lax.associative_scan`` first-order linear recurrence instead of a
+sequential filter.
+
+Everything here is shape-static and batch-first: wav (B, S) -> spect
+(B, T, bins). The Pallas mel-STFT kernel in ``ops/stft_pallas.py`` implements
+the same math (framing + window + DFT-as-matmul + mel matmul) for the MXU;
+this module is the always-available jnp reference/fallback the kernel is
+tested against.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import AudioConfig
+from .mel import mel_filterbank
+from .ref import padded_window
+
+
+def frame_indices(num_samples: int, n_fft: int, hop: int) -> np.ndarray:
+    num_frames = 1 + (num_samples - n_fft) // hop
+    return np.arange(num_frames)[:, None] * hop + np.arange(n_fft)[None, :]
+
+
+def num_frames_for(num_samples: int, cfg: AudioConfig) -> int:
+    """Frame count for a center-padded signal of `num_samples` samples."""
+    return 1 + num_samples // cfg.hop_length
+
+
+class JaxDSP:
+    """Precomputed-constant DSP ops for one AudioConfig.
+
+    Methods are pure jnp functions of their array arguments (config constants
+    are baked in), so they jit/vmap/shard cleanly.
+    """
+
+    def __init__(self, cfg: AudioConfig):
+        self.cfg = cfg
+        self.window = jnp.asarray(padded_window(cfg.win_length, cfg.n_fft), jnp.float32)
+        self.mel_basis = jnp.asarray(
+            mel_filterbank(cfg.sample_rate, cfg.n_fft, cfg.num_mels, cfg.mel_fmin, cfg.mel_fmax)
+        )  # (num_mels, num_freq)
+
+    # -- framing ------------------------------------------------------------
+    #
+    # hop_length divides n_fft in every supported config, so framing and
+    # overlap-add are expressed as hop-sized chunk reshapes + K static shifted
+    # slices (K = n_fft/hop) instead of gathers/scatters. XLA compiles these
+    # to plain strided copies/adds — crucial both for CPU compile time and for
+    # clean Mosaic/TPU lowering.
+
+    def _frame(self, wav: jnp.ndarray) -> jnp.ndarray:
+        """(B, S) -> (B, T, n_fft) with reflect center padding."""
+        cfg = self.cfg
+        assert cfg.n_fft % cfg.hop_length == 0, "hop must divide n_fft"
+        k = cfg.n_fft // cfg.hop_length
+        pad = cfg.n_fft // 2
+        wav = jnp.pad(wav, ((0, 0), (pad, pad)), mode="reflect")
+        total = wav.shape[-1]
+        num_frames = 1 + (total - cfg.n_fft) // cfg.hop_length
+        num_chunks = total // cfg.hop_length
+        chunks = wav[:, : num_chunks * cfg.hop_length].reshape(
+            wav.shape[0], num_chunks, cfg.hop_length
+        )
+        # frame t = chunks[t : t + k] flattened
+        parts = [chunks[:, j : j + num_frames] for j in range(k)]
+        return jnp.concatenate(parts, axis=-1)
+
+    # -- forward STFT / features -------------------------------------------
+
+    def stft(self, wav: jnp.ndarray) -> jnp.ndarray:
+        """(B, S) -> complex (B, T, num_freq)."""
+        frames = self._frame(wav) * self.window[None, None, :]
+        return jnp.fft.rfft(frames, n=self.cfg.n_fft, axis=-1)
+
+    def magnitude(self, wav: jnp.ndarray) -> jnp.ndarray:
+        return jnp.abs(self.stft(wav))
+
+    def linear_spectrogram(self, wav: jnp.ndarray) -> jnp.ndarray:
+        """(B, S) -> normalized linear dB spect (B, T, num_freq)."""
+        mag = self.magnitude(self.preemphasis(wav))
+        s = amp_to_db(mag) - self.cfg.ref_level_db
+        return normalize_db(s, self.cfg)
+
+    def mel_spectrogram(self, wav: jnp.ndarray) -> jnp.ndarray:
+        """(B, S) -> normalized mel spect (B, T, num_mels)."""
+        mag = self.magnitude(self.preemphasis(wav))
+        mel = jnp.einsum("btf,mf->btm", mag, self.mel_basis)
+        s = amp_to_db(mel) - self.cfg.ref_level_db
+        return normalize_db(s, self.cfg)
+
+    def features(self, wav: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """One STFT shared by both feature maps: (mel, linear)."""
+        mag = self.magnitude(self.preemphasis(wav))
+        lin = normalize_db(amp_to_db(mag) - self.cfg.ref_level_db, self.cfg)
+        mel = jnp.einsum("btf,mf->btm", mag, self.mel_basis)
+        mel = normalize_db(amp_to_db(mel) - self.cfg.ref_level_db, self.cfg)
+        return mel, lin
+
+    # -- inverse ------------------------------------------------------------
+
+    def _overlap_add(self, frames: jnp.ndarray) -> jnp.ndarray:
+        """(B, T, n_fft) windowed frames -> (B, n_fft + hop*(T-1)) via K
+        static shifted adds of hop-sized chunks (no scatter)."""
+        cfg = self.cfg
+        b, num_frames, _ = frames.shape
+        k = cfg.n_fft // cfg.hop_length
+        chunks = frames.reshape(b, num_frames, k, cfg.hop_length)
+        out_chunks = num_frames + k - 1
+        out = jnp.zeros((b, out_chunks, cfg.hop_length), frames.dtype)
+        for j in range(k):
+            out = out.at[:, j : j + num_frames].add(chunks[:, :, j])
+        return out.reshape(b, out_chunks * cfg.hop_length)
+
+    def istft(self, spect: jnp.ndarray) -> jnp.ndarray:
+        """complex (B, T, num_freq) -> (B, S) with S = hop * (T - 1)."""
+        cfg = self.cfg
+        frames = jnp.fft.irfft(spect, n=cfg.n_fft, axis=-1) * self.window[None, None, :]
+        num_frames = spect.shape[1]
+        total = cfg.n_fft + cfg.hop_length * (num_frames - 1)
+        out = self._overlap_add(frames)
+        winsq = (self.window * self.window)[None, None, :]
+        norm = self._overlap_add(
+            jnp.broadcast_to(winsq, (1, num_frames, cfg.n_fft))
+        )
+        out = out / jnp.maximum(norm, 1e-10)
+        return out[:, cfg.n_fft // 2 : total - cfg.n_fft // 2]
+
+    def griffin_lim(self, magnitude: jnp.ndarray, key: jax.Array | None = None) -> jnp.ndarray:
+        """(B, T, num_freq) magnitude -> (B, S) waveform.
+
+        The reference runs ~60 host-side librosa iterations (SURVEY.md §3.3
+        "second hot loop"); here the whole loop is one on-device fori_loop.
+        """
+        cfg = self.cfg
+        if key is None:
+            phase = jnp.ones_like(magnitude)
+        else:
+            ang = jax.random.uniform(key, magnitude.shape, maxval=2.0 * np.pi)
+            phase = jnp.exp(1j * ang.astype(jnp.float32)).astype(jnp.complex64)
+        s = magnitude.astype(jnp.complex64) * phase
+
+        def body(_, s):
+            wav = self.istft(s)
+            rebuilt = self.stft(wav)
+            phase = rebuilt / jnp.maximum(jnp.abs(rebuilt), 1e-16)
+            return magnitude * phase
+
+        s = jax.lax.fori_loop(0, cfg.griffin_lim_iters, body, s)
+        return self.istft(s)
+
+    def inv_linear_spectrogram(
+        self, spect: jnp.ndarray, key: jax.Array | None = None
+    ) -> jnp.ndarray:
+        """Normalized linear spect (B, T, F) -> waveform (B, S)."""
+        cfg = self.cfg
+        s = db_to_amp(denormalize_db(spect, cfg) + cfg.ref_level_db)
+        wav = self.griffin_lim(s ** cfg.griffin_lim_power, key=key)
+        return self.inv_preemphasis(wav)
+
+    # -- preemphasis --------------------------------------------------------
+
+    def preemphasis(self, wav: jnp.ndarray) -> jnp.ndarray:
+        """y[t] = x[t] - coef * x[t-1] (FIR; trivially parallel)."""
+        coef = self.cfg.preemphasis
+        if coef == 0.0:
+            return wav
+        shifted = jnp.pad(wav, ((0, 0), (1, 0)))[:, :-1]
+        return wav - coef * shifted
+
+    def inv_preemphasis(self, wav: jnp.ndarray) -> jnp.ndarray:
+        """y[t] = x[t] + coef * y[t-1] via parallel associative scan.
+
+        The recurrence y_t = a*y_{t-1} + x_t composes as (a1,x1)∘(a2,x2) =
+        (a1*a2, a2*x1 + x2), so a log-depth associative_scan replaces the
+        sequential IIR filter of the reference.
+        """
+        coef = self.cfg.preemphasis
+        if coef == 0.0:
+            return wav
+
+        a = jnp.full_like(wav, coef)
+
+        def combine(left, right):
+            al, xl = left
+            ar, xr = right
+            return al * ar, ar * xl + xr
+
+        _, y = jax.lax.associative_scan(combine, (a, wav), axis=1)
+        return y
+
+
+# ---------------------------------------------------------------------------
+# Stateless companding helpers (shared with the Pallas kernels)
+# ---------------------------------------------------------------------------
+
+
+def amp_to_db(x: jnp.ndarray) -> jnp.ndarray:
+    return 20.0 * jnp.log10(jnp.maximum(1e-5, x))
+
+
+def db_to_amp(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.power(10.0, x * 0.05)
+
+
+def normalize_db(s: jnp.ndarray, cfg: AudioConfig) -> jnp.ndarray:
+    unit = (s - cfg.min_level_db) / (-cfg.min_level_db)
+    if cfg.symmetric_norm:
+        return jnp.clip(
+            2.0 * cfg.max_abs_value * unit - cfg.max_abs_value,
+            -cfg.max_abs_value,
+            cfg.max_abs_value,
+        )
+    return jnp.clip(unit, 0.0, 1.0)
+
+
+def denormalize_db(s: jnp.ndarray, cfg: AudioConfig) -> jnp.ndarray:
+    if cfg.symmetric_norm:
+        unit = (jnp.clip(s, -cfg.max_abs_value, cfg.max_abs_value) + cfg.max_abs_value) / (
+            2.0 * cfg.max_abs_value
+        )
+    else:
+        unit = jnp.clip(s, 0.0, 1.0)
+    return unit * (-cfg.min_level_db) + cfg.min_level_db
+
+
+def mulaw_encode(wav: jnp.ndarray, bits: int) -> jnp.ndarray:
+    """mu-law compand to integer classes [0, 2**bits) (WaveRNN target)."""
+    mu = 2 ** bits - 1
+    x = jnp.clip(wav, -1.0, 1.0)
+    y = jnp.sign(x) * jnp.log1p(mu * jnp.abs(x)) / jnp.log1p(float(mu))
+    return ((y + 1.0) / 2.0 * mu + 0.5).astype(jnp.int32)
+
+
+def mulaw_decode(classes: jnp.ndarray, bits: int) -> jnp.ndarray:
+    mu = 2 ** bits - 1
+    y = 2.0 * classes.astype(jnp.float32) / mu - 1.0
+    return jnp.sign(y) * (jnp.expm1(jnp.abs(y) * jnp.log1p(float(mu)))) / mu

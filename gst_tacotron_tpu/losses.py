@@ -1,0 +1,93 @@
+"""Training losses (reference Model.py loss block; SURVEY.md §2.1 "Loss &
+optimizer"): masked L1 on mel, masked L1 on linear with low-frequency
+emphasis (keithito lineage), and stop-token BCE. Identical weighting is
+config-driven for training parity."""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .config import AudioConfig, LossConfig
+
+
+def sequence_mask(lengths: jnp.ndarray, time: int) -> jnp.ndarray:
+    return (jnp.arange(time)[None, :] < lengths[:, None]).astype(jnp.float32)
+
+
+def masked_l1(pred: jnp.ndarray, target: jnp.ndarray,
+              mask: Optional[jnp.ndarray]) -> jnp.ndarray:
+    err = jnp.abs(pred - target)
+    if mask is None:
+        return jnp.mean(err)
+    m = mask[..., None]
+    return jnp.sum(err * m) / jnp.maximum(jnp.sum(m) * err.shape[-1], 1.0)
+
+
+def linear_loss_weights(loss_cfg: LossConfig, audio_cfg: AudioConfig,
+                        num_freq: int) -> jnp.ndarray:
+    """Per-bin weights: 1 + extra weight below linear_lowfreq_hz."""
+    freqs = jnp.linspace(0.0, audio_cfg.sample_rate / 2.0, num_freq)
+    low = (freqs <= loss_cfg.linear_lowfreq_hz).astype(jnp.float32)
+    w = 1.0 + loss_cfg.linear_lowfreq_weight * low
+    return w / jnp.mean(w)
+
+
+def stop_token_targets(mel_lengths: jnp.ndarray, time: int) -> jnp.ndarray:
+    """1.0 at and after each utterance's last frame, else 0."""
+    return (jnp.arange(time)[None, :] >= (mel_lengths[:, None] - 1)).astype(
+        jnp.float32
+    )
+
+
+def compute_losses(
+    outputs: Dict[str, jnp.ndarray],
+    batch: Dict[str, jnp.ndarray],
+    loss_cfg: LossConfig,
+    audio_cfg: AudioConfig,
+) -> Dict[str, jnp.ndarray]:
+    """Returns {"loss", "mel_loss", "linear_loss", "stop_loss"}."""
+    mel_lengths = batch.get("mel_lengths")
+    time = outputs["mel"].shape[1]
+    mask = sequence_mask(mel_lengths, time) if mel_lengths is not None else None
+
+    mel_loss = masked_l1(outputs["mel"], batch["mel"], mask)
+
+    wbins = linear_loss_weights(loss_cfg, audio_cfg, outputs["linear"].shape[-1])
+    lin_err = jnp.abs(outputs["linear"] - batch["linear"]) * wbins[None, None, :]
+    if mask is not None:
+        m = mask[..., None]
+        linear_loss = jnp.sum(lin_err * m) / jnp.maximum(
+            jnp.sum(m) * lin_err.shape[-1], 1.0
+        )
+    else:
+        linear_loss = jnp.mean(lin_err)
+
+    if "stop_logits" in outputs and mel_lengths is not None:
+        targets = stop_token_targets(mel_lengths, time)
+        bce = optax_sigmoid_bce(outputs["stop_logits"], targets)
+        # weight all frames up to (and a bit past) each length
+        stop_loss = jnp.mean(bce)
+    else:
+        stop_loss = jnp.asarray(0.0)
+
+    loss = (
+        loss_cfg.mel_weight * mel_loss
+        + loss_cfg.linear_weight * linear_loss
+        + loss_cfg.stop_weight * stop_loss
+    )
+    return {
+        "loss": loss,
+        "mel_loss": mel_loss,
+        "linear_loss": linear_loss,
+        "stop_loss": stop_loss,
+    }
+
+
+def optax_sigmoid_bce(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Numerically-stable sigmoid BCE (max(x,0) - x*z + log1p(exp(-|x|)))."""
+    return jnp.maximum(logits, 0.0) - logits * labels + jnp.log1p(
+        jnp.exp(-jnp.abs(logits))
+    )

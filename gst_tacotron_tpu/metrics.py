@@ -1,0 +1,53 @@
+"""Metrics / logging (reference tf.summary scalars; SURVEY.md §5).
+
+Writers: console, JSONL (always), and TensorBoard through clu's metric
+writers when available. Also hosts the quantitative north-star metrics
+helpers (audio-seconds/sec/chip, decode steps/sec; BASELINE.json:2)."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, Optional
+
+
+class MetricLogger:
+    def __init__(self, log_dir: str, use_tensorboard: bool = True):
+        os.makedirs(log_dir, exist_ok=True)
+        self.jsonl_path = os.path.join(log_dir, "metrics.jsonl")
+        self._jsonl = open(self.jsonl_path, "a")
+        self._tb = None
+        if use_tensorboard:
+            try:
+                from clu import metric_writers
+
+                self._tb = metric_writers.SummaryWriter(log_dir)
+            except Exception:
+                self._tb = None
+
+    def write(self, step: int, metrics: Dict[str, float], prefix: str = "") -> None:
+        scalars = {
+            (f"{prefix}/{k}" if prefix else k): float(v) for k, v in metrics.items()
+        }
+        rec = {"step": int(step), "time": time.time(), **scalars}
+        self._jsonl.write(json.dumps(rec) + "\n")
+        self._jsonl.flush()
+        if self._tb is not None:
+            self._tb.write_scalars(step, scalars)
+
+    def close(self) -> None:
+        self._jsonl.close()
+        if self._tb is not None:
+            self._tb.close()
+
+
+def synthesis_metrics(num_audio_seconds: float, wall_seconds: float,
+                      decode_steps: int, num_chips: int) -> Dict[str, float]:
+    """The BASELINE.json:2 metric triple."""
+    return {
+        "audio_seconds_per_sec_per_chip": num_audio_seconds
+        / max(wall_seconds, 1e-9) / max(num_chips, 1),
+        "decode_steps_per_sec": decode_steps / max(wall_seconds, 1e-9),
+        "wall_seconds": wall_seconds,
+    }

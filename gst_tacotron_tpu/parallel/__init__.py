@@ -1,0 +1,25 @@
+"""Parallelism layer: mesh, shardings, collectives (SURVEY.md §2.3)."""
+
+from .mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    data_sharding,
+    initialize_distributed,
+    make_mesh,
+    replicated,
+    shard_batch,
+)
+from .sharding import describe_sharding, param_shardings, shard_params
+
+__all__ = [
+    "DATA_AXIS",
+    "MODEL_AXIS",
+    "make_mesh",
+    "data_sharding",
+    "replicated",
+    "shard_batch",
+    "initialize_distributed",
+    "param_shardings",
+    "shard_params",
+    "describe_sharding",
+]

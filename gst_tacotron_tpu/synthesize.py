@@ -1,0 +1,189 @@
+"""Synthesis / inference path (reference GST_Tacotron.Inference; SURVEY.md §3.3).
+
+(texts, optional reference wavs | token weights, optional speaker ids) ->
+tokens + ref mels -> jitted [encoder + GST + fused AR decode scan + post-net]
+-> on-device Griffin-Lim (or WaveRNN) -> waveforms + alignment plots.
+
+Everything between tokenization and the waveform is ONE compiled program per
+(batch, text-bucket) shape — the reference crosses host<->device every decode
+step and runs Griffin-Lim on CPU (its two hot loops, SURVEY.md §3.3).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.io import wavfile
+
+from .config import Config
+from .dsp import JaxDSP
+from .dsp import ref as dsp_ref
+from .metrics import synthesis_metrics
+from .models import GSTTacotron, alignment_diagonality
+from .text import batch_text_to_ids
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class Synthesizer:
+    """Batch synthesis API over a trained state."""
+
+    def __init__(self, cfg: Config, model: GSTTacotron, variables: Dict,
+                 text_pad_multiple: int = 32):
+        self.cfg = cfg
+        self.model = model
+        self.variables = variables
+        self.dsp = JaxDSP(cfg.audio)
+        self.text_pad_multiple = text_pad_multiple
+        self._infer_jit = jax.jit(
+            functools.partial(self._infer_fn), static_argnames=("max_steps",)
+        )
+
+    # -- jitted core --------------------------------------------------------
+
+    def _infer_fn(self, variables, tokens, token_lengths, ref_mel,
+                  ref_mel_lengths, speaker_ids, token_weights, rng,
+                  *, max_steps: int):
+        out = self.model.apply(
+            variables, tokens, token_lengths,
+            ref_mel=ref_mel, ref_mel_lengths=ref_mel_lengths,
+            speaker_ids=speaker_ids, token_weights=token_weights,
+            method=self.model.infer, rngs={"dropout": rng},
+            max_steps=max_steps,
+        )
+        wav = self.dsp.inv_linear_spectrogram(out["linear"])
+        return out, wav
+
+    # -- public API ---------------------------------------------------------
+
+    def __call__(
+        self,
+        texts: Sequence[str],
+        reference_wavs: Optional[Sequence[np.ndarray]] = None,
+        token_weights: Optional[np.ndarray] = None,
+        speaker_ids: Optional[Sequence[int]] = None,
+        max_steps: Optional[int] = None,
+        seed: int = 0,
+    ) -> Dict[str, np.ndarray]:
+        cfg = self.cfg
+        tokens, lengths = batch_text_to_ids(texts)
+        pad_to = _round_up(tokens.shape[1], self.text_pad_multiple)
+        tokens = np.pad(tokens, ((0, 0), (0, pad_to - tokens.shape[1])))
+
+        ref_mel = ref_lengths = None
+        if cfg.model.gst.enabled and reference_wavs is not None:
+            mels = [
+                dsp_ref.melspectrogram(np.asarray(w, np.float32), cfg.audio)
+                for w in reference_wavs
+            ]
+            t_max = _round_up(max(m.shape[0] for m in mels), 64)
+            ref_mel = np.zeros((len(mels), t_max, cfg.model.num_mels), np.float32)
+            ref_lengths = np.array([m.shape[0] for m in mels], np.int32)
+            for i, m in enumerate(mels):
+                ref_mel[i, : m.shape[0]] = m
+        elif cfg.model.gst.enabled and token_weights is None:
+            # neutral style: uniform token weights
+            token_weights = np.full(
+                (len(texts), cfg.model.gst.num_tokens),
+                1.0 / cfg.model.gst.num_tokens, np.float32,
+            )
+
+        spk = None
+        if cfg.model.num_speakers > 1:
+            spk = np.asarray(
+                speaker_ids if speaker_ids is not None else [0] * len(texts),
+                np.int32,
+            )
+
+        steps = max_steps or cfg.model.decoder.max_decode_steps
+        out, wav = self._infer_jit(
+            self.variables, jnp.asarray(tokens), jnp.asarray(lengths),
+            None if ref_mel is None else jnp.asarray(ref_mel),
+            None if ref_lengths is None else jnp.asarray(ref_lengths),
+            None if spk is None else jnp.asarray(spk),
+            None if token_weights is None else jnp.asarray(token_weights),
+            jax.random.PRNGKey(seed),
+            max_steps=steps,
+        )
+        frame_lengths = np.asarray(out["frame_lengths"])
+        diag = alignment_diagonality(
+            out["alignments"], jnp.asarray(lengths),
+            jnp.asarray(
+                np.maximum(1, frame_lengths // cfg.model.decoder.reduction_factor)
+            ),
+        )
+        return {
+            "wav": np.asarray(wav),
+            "mel": np.asarray(out["mel"]),
+            "linear": np.asarray(out["linear"]),
+            "alignments": np.asarray(out["alignments"]),
+            "frame_lengths": frame_lengths,
+            "wav_lengths": frame_lengths * cfg.audio.hop_length,
+            "diagonality": np.asarray(diag),
+        }
+
+    # -- artifacts ----------------------------------------------------------
+
+    def save_outputs(self, outputs: Dict[str, np.ndarray], out_dir: str,
+                     prefix: str = "synth") -> List[str]:
+        """Write WAVs + alignment PNGs (reference eval artifacts)."""
+        os.makedirs(out_dir, exist_ok=True)
+        paths = []
+        sr = self.cfg.audio.sample_rate
+        n = outputs["wav"].shape[0]
+        for i in range(n):
+            L = int(outputs["wav_lengths"][i])
+            wav = np.clip(outputs["wav"][i, :L], -1.0, 1.0)
+            path = os.path.join(out_dir, f"{prefix}_{i:03d}.wav")
+            wavfile.write(path, sr, (wav * 32767).astype(np.int16))
+            paths.append(path)
+            png = self._save_alignment_png(
+                outputs["alignments"][i], out_dir, f"{prefix}_{i:03d}"
+            )
+            if png:
+                paths.append(png)
+        return paths
+
+    def _save_alignment_png(self, alignment: np.ndarray, out_dir: str,
+                            name: str) -> Optional[str]:
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except Exception:
+            return None
+        path = os.path.join(out_dir, f"{name}_align.png")
+        fig, ax = plt.subplots(figsize=(6, 4))
+        ax.imshow(alignment.T, aspect="auto", origin="lower",
+                  interpolation="none")
+        ax.set_xlabel("decoder step")
+        ax.set_ylabel("encoder position")
+        fig.tight_layout()
+        fig.savefig(path, dpi=80)
+        plt.close(fig)
+        return path
+
+
+def benchmark_synthesis(synth: Synthesizer, texts: Sequence[str],
+                        iterations: int = 3, **kwargs) -> Dict[str, float]:
+    """Timed synthesis for the north-star metrics (BASELINE.json:2)."""
+    out = synth(texts, **kwargs)  # warmup + compile
+    jax.block_until_ready(out["wav"])
+    t0 = time.time()
+    for _ in range(iterations):
+        out = synth(texts, **kwargs)
+        jax.block_until_ready(out["wav"])
+    dt = (time.time() - t0) / iterations
+    audio_seconds = float(np.sum(out["wav_lengths"])) / synth.cfg.audio.sample_rate
+    r = synth.cfg.model.decoder.reduction_factor
+    decode_steps = int(np.sum(out["frame_lengths"]) // r)
+    return synthesis_metrics(audio_seconds, dt, decode_steps,
+                             num_chips=jax.local_device_count())

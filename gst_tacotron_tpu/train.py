@@ -1,0 +1,296 @@
+"""Trainer (reference Model.py GST_Tacotron.Train; SURVEY.md §3.2).
+
+The reference's eager loop becomes: one jitted, mesh-sharded train step
+(teacher-forced forward + losses + grads + optax update) with donated state;
+the feeder thread becomes the BucketedLoader; tf.summary becomes
+MetricLogger; tf.train.Checkpoint becomes orbax.
+
+Train step semantics preserved from the reference: GST conditions on the
+TARGET mel as reference audio during training; loss = mel L1 + linear L1
+(low-freq emphasis) + stop BCE; Adam with noam-style decay + global-norm
+gradient clipping.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .checkpoint import CheckpointManager
+from .config import Config, OptimizerConfig, get_preset, load_config, parse_cli_overrides, apply_overrides
+from .data import BucketedLoader, PatternDataset
+from .losses import compute_losses
+from .metrics import MetricLogger
+from .models import GSTTacotron
+from .parallel import make_mesh, param_shardings, shard_batch
+from .text import NUM_SYMBOLS
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    rng: jnp.ndarray
+
+
+# ---------------------------------------------------------------------------
+# Optimizer
+# ---------------------------------------------------------------------------
+
+
+def make_schedule(cfg: OptimizerConfig):
+    if cfg.schedule == "noam":
+        def sched(step):
+            step = jnp.maximum(step, 1).astype(jnp.float32)
+            w = float(cfg.warmup_steps)
+            return cfg.learning_rate * w ** 0.5 * jnp.minimum(
+                step * w ** -1.5, step ** -0.5
+            )
+        return sched
+    if cfg.schedule == "exponential":
+        return optax.exponential_decay(
+            cfg.learning_rate, cfg.decay_steps, cfg.decay_rate
+        )
+    return lambda step: cfg.learning_rate
+
+
+def make_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip_norm),
+        optax.scale_by_adam(b1=cfg.beta1, b2=cfg.beta2, eps=cfg.eps),
+        optax.add_decayed_weights(cfg.weight_decay)
+        if cfg.weight_decay > 0 else optax.identity(),
+        optax.scale_by_schedule(make_schedule(cfg)),
+        optax.scale(-1.0),
+    )
+    return tx
+
+
+# ---------------------------------------------------------------------------
+# State init
+# ---------------------------------------------------------------------------
+
+
+def build_model(cfg: Config) -> GSTTacotron:
+    num_symbols = cfg.model.num_symbols or NUM_SYMBOLS
+    return GSTTacotron(cfg.model, num_symbols)
+
+
+def init_state(cfg: Config, rng: jax.Array, sample_batch: Dict[str, np.ndarray]
+               ) -> Tuple[GSTTacotron, TrainState]:
+    model = build_model(cfg)
+    tx = make_optimizer(cfg.optimizer)
+    params_rng, dropout_rng, state_rng = jax.random.split(rng, 3)
+    kwargs = _model_kwargs(cfg, sample_batch)
+    variables = model.init(
+        {"params": params_rng, "dropout": dropout_rng},
+        jnp.asarray(sample_batch["tokens"]),
+        jnp.asarray(sample_batch["token_lengths"]),
+        jnp.asarray(sample_batch["mel"]),
+        train=False,
+        **kwargs,
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        rng=state_rng,
+    )
+    return model, state
+
+
+def _model_kwargs(cfg: Config, batch: Dict[str, Any]) -> Dict[str, Any]:
+    kwargs: Dict[str, Any] = {}
+    if cfg.model.gst.enabled:
+        kwargs["ref_mel"] = jnp.asarray(batch["mel"])
+        kwargs["ref_mel_lengths"] = jnp.asarray(batch["mel_lengths"])
+    if cfg.model.num_speakers > 1:
+        kwargs["speaker_ids"] = jnp.asarray(batch["speaker_ids"])
+    return kwargs
+
+
+# ---------------------------------------------------------------------------
+# Train / eval steps
+# ---------------------------------------------------------------------------
+
+
+def train_step(model: GSTTacotron, tx: optax.GradientTransformation, cfg: Config,
+               state: TrainState, batch: Dict[str, jnp.ndarray]
+               ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    step_rng = jax.random.fold_in(state.rng, state.step)
+
+    def loss_fn(params):
+        variables = {"params": params, "batch_stats": state.batch_stats}
+        kwargs = _model_kwargs(cfg, batch)
+        outputs, mutated = model.apply(
+            variables,
+            batch["tokens"],
+            batch["token_lengths"],
+            batch["mel"],
+            train=True,
+            rngs={"dropout": step_rng},
+            mutable=["batch_stats"],
+            **kwargs,
+        )
+        losses = compute_losses(outputs, batch, cfg.loss, cfg.audio)
+        return losses["loss"], (losses, mutated.get("batch_stats", {}))
+
+    grads, (losses, new_batch_stats) = jax.grad(loss_fn, has_aux=True)(state.params)
+    updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    metrics = dict(losses)
+    metrics["grad_norm"] = optax.global_norm(grads)
+    new_state = state.replace(
+        step=state.step + 1,
+        params=new_params,
+        batch_stats=new_batch_stats,
+        opt_state=new_opt_state,
+    )
+    return new_state, metrics
+
+
+def make_train_step(model: GSTTacotron, tx: optax.GradientTransformation,
+                    cfg: Config, mesh: Optional[Mesh] = None, donate: bool = True):
+    """Jit the train step; with a mesh, shard batch over `data` and params per
+    the TP rules (GSPMD inserts the gradient psums / TP collectives)."""
+    fn = functools.partial(train_step, model, tx, cfg)
+    if mesh is None:
+        return jax.jit(fn, donate_argnums=(0,) if donate else ())
+    batch_sharding = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        fn,
+        in_shardings=(None, batch_sharding),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def eval_step(model: GSTTacotron, cfg: Config, state: TrainState,
+              batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    kwargs = _model_kwargs(cfg, batch)
+    outputs = model.apply(
+        variables,
+        batch["tokens"],
+        batch["token_lengths"],
+        batch["mel"],
+        train=False,
+        rngs={"dropout": jax.random.fold_in(state.rng, -1)},
+        **kwargs,
+    )
+    losses = compute_losses(outputs, batch, cfg.loss, cfg.audio)
+    return {f"eval_{k}": v for k, v in losses.items()}
+
+
+# ---------------------------------------------------------------------------
+# Trainer loop
+# ---------------------------------------------------------------------------
+
+
+class Trainer:
+    def __init__(self, cfg: Config, pattern_dir: str, work_dir: str,
+                 mesh: Optional[Mesh] = None):
+        self.cfg = cfg
+        self.work_dir = work_dir
+        self.mesh = mesh
+        os.makedirs(work_dir, exist_ok=True)
+
+        self.dataset = PatternDataset(pattern_dir, cfg.data.metadata_file)
+        num_shards = jax.process_count()
+        self.loader = BucketedLoader(
+            self.dataset, cfg.data, cfg.model.decoder.reduction_factor,
+            shard_index=jax.process_index(), num_shards=num_shards,
+            seed=cfg.train.seed,
+        )
+        sample = next(iter(self.loader.epoch(0)))
+        self.model, self.state = init_state(
+            cfg, jax.random.PRNGKey(cfg.train.seed), sample
+        )
+        self.tx = make_optimizer(cfg.optimizer)
+        self.step_fn = make_train_step(self.model, self.tx, cfg, mesh)
+        self.ckpt = CheckpointManager(
+            os.path.join(work_dir, cfg.train.checkpoint_dir),
+            keep=cfg.train.keep_checkpoints,
+        )
+        self.logger = MetricLogger(os.path.join(work_dir, "logs"))
+
+    def restore_if_available(self) -> bool:
+        step = self.ckpt.latest_step()
+        if step is None:
+            return False
+        self.state = self.ckpt.restore(self.state, step)
+        return True
+
+    def _device_batch(self, batch):
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        if self.mesh is not None:
+            batch = shard_batch(batch, self.mesh)
+        return batch
+
+    def train(self, total_steps: Optional[int] = None,
+              eval_fn=None) -> TrainState:
+        cfg = self.cfg
+        total = total_steps or cfg.train.total_steps
+        it = iter(self.loader)
+        t0 = time.time()
+        window = 0
+        start_step = int(self.state.step)
+        for _ in range(start_step, total):
+            batch = self._device_batch(next(it))
+            self.state, metrics = self.step_fn(self.state, batch)
+            window += 1
+            step = int(self.state.step)
+            if step % cfg.train.log_every == 0:
+                dt = time.time() - t0
+                host_metrics = {k: float(v) for k, v in metrics.items()}
+                host_metrics["steps_per_sec"] = window / max(dt, 1e-9)
+                self.logger.write(step, host_metrics, prefix="train")
+                t0, window = time.time(), 0
+            if step % cfg.train.checkpoint_every == 0:
+                self.ckpt.save(step, jax.device_get(self.state))
+            if eval_fn is not None and step % cfg.train.eval_every == 0:
+                eval_fn(self, step)
+        self.ckpt.save(int(self.state.step), jax.device_get(self.state))
+        self.ckpt.wait()
+        return self.state
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Train GST-Tacotron (TPU-native)")
+    p.add_argument("--preset", default="taco1_lj")
+    p.add_argument("--config", help="config JSON path (overrides preset)")
+    p.add_argument("--patterns", required=True)
+    p.add_argument("--workdir", required=True)
+    p.add_argument("--steps", type=int)
+    p.add_argument("--model-parallelism", type=int, default=1)
+    p.add_argument("overrides", nargs="*", help="dotted config overrides k=v")
+    args = p.parse_args(argv)
+
+    cfg = load_config(args.config) if args.config else get_preset(args.preset)
+    if args.overrides:
+        cfg = apply_overrides(cfg, parse_cli_overrides(args.overrides))
+
+    mesh = None
+    if len(jax.devices()) > 1 or args.model_parallelism > 1:
+        mesh = make_mesh(args.model_parallelism)
+
+    trainer = Trainer(cfg, args.patterns, args.workdir, mesh)
+    trainer.restore_if_available()
+    trainer.train(args.steps)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,88 @@
+"""Data pipeline tests: pattern generation + bucketed loader (SURVEY.md §4)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from gst_tacotron_tpu.config import AudioConfig, DataConfig
+from gst_tacotron_tpu.data import (
+    BucketedLoader,
+    PatternDataset,
+    generate_patterns,
+    synthetic_utterances,
+)
+
+FAST_AUDIO = AudioConfig(n_fft=512, hop_length=128, win_length=512)
+
+
+@pytest.fixture(scope="module")
+def pattern_dir(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("patterns"))
+    utts = synthetic_utterances(12, num_speakers=2)
+    meta = generate_patterns(utts, FAST_AUDIO, out)
+    assert len(meta["entries"]) == 12
+    return out
+
+
+def test_pattern_contents(pattern_dir):
+    ds = PatternDataset(pattern_dir)
+    assert len(ds) == 12
+    assert ds.num_speakers == 2
+    item = ds.load(0)
+    assert item["tokens"].dtype == np.int32
+    assert item["mel"].shape[1] == FAST_AUDIO.num_mels
+    assert item["linear"].shape[1] == FAST_AUDIO.num_freq
+    assert item["mel"].shape[0] == item["linear"].shape[0]
+    # normalized features within range
+    assert item["mel"].min() >= 0.0 and item["mel"].max() <= 1.0
+    entry = ds.entries[0]
+    assert entry["mel_len"] == item["mel"].shape[0]
+    assert entry["text_len"] == len(item["tokens"])
+
+
+def test_loader_fixed_shapes(pattern_dir):
+    cfg = DataConfig(batch_size=4, buckets=((64, 400), (128, 800), (256, 1600)))
+    loader = BucketedLoader(PatternDataset(pattern_dir), cfg, reduction_factor=2)
+    batches = list(loader.epoch(0))
+    assert batches, "no batches produced"
+    for b in batches:
+        assert b["tokens"].shape[0] == 4
+        assert b["mel"].shape[1] % 2 == 0  # r-aligned bucket
+        assert b["mel"].shape[:2] == b["linear"].shape[:2]
+        assert np.all(b["mel_lengths"] % 2 == 0)
+        assert np.all(b["mel_lengths"] <= b["mel"].shape[1])
+        assert np.all(b["token_lengths"] > 0)
+        # shapes come from the bucket table, not the data
+        assert (b["tokens"].shape[1], ) in {(64,), (128,), (256,)}
+
+
+def test_loader_deterministic_and_sharded(pattern_dir):
+    cfg = DataConfig(batch_size=2, buckets=((256, 1600),))
+    ds = PatternDataset(pattern_dir)
+    l1 = BucketedLoader(ds, cfg, 2, seed=7)
+    l2 = BucketedLoader(ds, cfg, 2, seed=7)
+    b1 = next(iter(l1.epoch(0)))
+    b2 = next(iter(l2.epoch(0)))
+    np.testing.assert_array_equal(b1["tokens"], b2["tokens"])
+
+    # two shards see disjoint utterances in an epoch
+    s0 = BucketedLoader(ds, cfg, 2, seed=7, shard_index=0, num_shards=2)
+    s1 = BucketedLoader(ds, cfg, 2, seed=7, shard_index=1, num_shards=2)
+
+    def utt_set(loader):
+        out = set()
+        for batch, spec in loader._epoch_batches(0):
+            out.update(batch)
+        return out
+
+    assert utt_set(s0).isdisjoint(utt_set(s1))
+
+
+def test_loader_prefetch_stream(pattern_dir):
+    cfg = DataConfig(batch_size=2, buckets=((256, 1600),), prefetch=2)
+    loader = BucketedLoader(PatternDataset(pattern_dir), cfg, 2)
+    it = iter(loader)
+    seen = [next(it) for _ in range(8)]  # crosses an epoch boundary
+    assert all(s["tokens"].shape[0] == 2 for s in seen)
