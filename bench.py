@@ -1,0 +1,251 @@
+"""Benchmark harness — prints ONE JSON line with the headline metric.
+
+Headline metric (BASELINE.json:2): audio-seconds synthesized / sec / chip on
+the flagship GST-Tacotron config, full pipeline (text -> encoder + GST ->
+fused AR decode scan -> post-net -> on-device Griffin-Lim -> waveform).
+
+Baseline for `vs_baseline`: the reference (CODEJIN/GST_Tacotron, TF2) ships
+no published numbers and no reference checkout exists in this sandbox
+(SURVEY.md provenance; BASELINE.json "published": {}), so the baseline is a
+*reference-architecture emulation measured on the same hardware*: the same
+model weights driven the way the reference drives them — a per-step
+host-dispatched decoder loop (one device call per decode step, SURVEY.md
+§3.3) followed by host-side numpy Griffin-Lim. vs_baseline = fused / emulated.
+
+Usage: python bench.py [--quick]
+Env: runs on whatever jax.devices() provides (the driver provides 1 TPU chip).
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build(cfg_overrides=None):
+    import jax
+
+    from gst_tacotron_tpu.config import apply_overrides, get_preset
+    from gst_tacotron_tpu.train import init_state
+
+    ov = {
+        # flagship dims (full-size GST-Tacotron), bounded decode length
+        "model.decoder.max_decode_steps": 200,
+        "audio.griffin_lim_iters": 30,
+    }
+    if cfg_overrides:
+        ov.update(cfg_overrides)
+    cfg = apply_overrides(get_preset("gst_lj"), ov)
+
+    rng = np.random.default_rng(0)
+    t_text, t_mel, batch = 64, 128, 8
+    sample = {
+        "tokens": rng.integers(2, 40, (batch, t_text)).astype(np.int32),
+        "token_lengths": np.full((batch,), t_text, np.int32),
+        "mel": rng.random((batch, t_mel, cfg.model.num_mels), np.float32),
+        "mel_lengths": np.full((batch,), t_mel, np.int32),
+        "linear": rng.random((batch, t_mel, cfg.model.num_freq), np.float32),
+        "speaker_ids": np.zeros((batch,), np.int32),
+    }
+    import jax as _jax
+
+    model, state = init_state(cfg, _jax.random.PRNGKey(0), sample)
+    return cfg, model, state, sample
+
+
+def bench_fused(cfg, model, state, sample, iterations=3):
+    """Our path: one jitted program for decode + postnet + Griffin-Lim."""
+    import jax
+    import jax.numpy as jnp
+
+    from gst_tacotron_tpu.dsp import JaxDSP
+
+    dsp = JaxDSP(cfg.audio)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    @jax.jit
+    def synth(variables, tokens, token_lengths, ref_mel, ref_lengths, rng):
+        out = model.apply(
+            variables, tokens, token_lengths,
+            ref_mel=ref_mel, ref_mel_lengths=ref_lengths,
+            method=model.infer, rngs={"dropout": rng},
+        )
+        wav = dsp.inv_linear_spectrogram(out["linear"])
+        return wav, out["frame_lengths"]
+
+    args = (
+        variables,
+        jnp.asarray(sample["tokens"]),
+        jnp.asarray(sample["token_lengths"]),
+        jnp.asarray(sample["mel"]),
+        jnp.asarray(sample["mel_lengths"]),
+        jax.random.PRNGKey(0),
+    )
+    wav, fl = synth(*args)
+    jax.block_until_ready(wav)  # compile + warmup
+    t0 = time.perf_counter()
+    for _ in range(iterations):
+        wav, fl = synth(*args)
+        jax.block_until_ready(wav)
+    dt = (time.perf_counter() - t0) / iterations
+
+    # all utterances decode to max length with random weights; count produced
+    # frames (the reference would produce the same frames for the same stop
+    # behavior, so the comparison is apples-to-apples)
+    frames = int(np.sum(np.asarray(fl)))
+    audio_seconds = frames * cfg.audio.hop_length / cfg.audio.sample_rate
+    decode_steps = frames // cfg.model.decoder.reduction_factor
+    return audio_seconds, dt, decode_steps
+
+
+def bench_reference_style(cfg, model, state, sample, max_steps=40):
+    """Reference-architecture emulation: per-step host dispatch + host GL.
+
+    One jitted single-decoder-step program invoked from a Python loop (the
+    reference's tf.function-per-step pattern) + numpy Griffin-Lim. Measured at
+    `max_steps` and linearly extrapolated to the fused run's step count (the
+    per-step cost is constant).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from gst_tacotron_tpu.dsp import ref as dsp_ref
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    tokens = jnp.asarray(sample["tokens"])
+    token_lengths = jnp.asarray(sample["token_lengths"])
+    ref_mel = jnp.asarray(sample["mel"])
+    ref_lengths = jnp.asarray(sample["mel_lengths"])
+
+    # Precompute memory once (the reference does this too).
+    @jax.jit
+    def encode(variables, tokens, token_lengths, ref_mel, ref_lengths):
+        def fn(mdl):
+            memory, _ = mdl._build_memory(
+                tokens, token_lengths, ref_mel, ref_lengths, None, None, False
+            )
+            keys = mdl.decoder.cell.precompute_keys(memory)
+            return memory, keys
+        return model.apply(variables, method=fn,
+                           rngs={"dropout": jax.random.PRNGKey(0)})
+
+    memory, keys = jax.tree_util.tree_map(
+        jax.block_until_ready, encode(variables, tokens, token_lengths,
+                                      ref_mel, ref_lengths)
+    )
+
+    from gst_tacotron_tpu.models.modules import length_mask
+
+    mask = length_mask(token_lengths, memory.shape[1])
+
+    @jax.jit
+    def one_step(variables, carry, memory, keys, mask, rng):
+        def fn(mdl):
+            return mdl.decoder.cell(carry, None, memory, keys, mask)
+        return model.apply(variables, method=fn, rngs={"dropout": rng})
+
+    @jax.jit
+    def init_carry(memory):
+        def fn(mdl):
+            b = memory.shape[0]
+            go = jnp.zeros((b, cfg.model.num_mels), jnp.float32)
+            return mdl.decoder.cell.init_carry(b, memory.shape[1], go)
+        return model.apply(variables, method=fn,
+                           rngs={"dropout": jax.random.PRNGKey(0)})
+
+    carry = init_carry(memory)
+    # warmup/compile
+    carry2, _ = one_step(variables, carry, memory, keys, mask,
+                         jax.random.PRNGKey(1))
+    jax.block_until_ready(carry2["attn_rnn_h"])
+
+    t0 = time.perf_counter()
+    c = carry
+    outs = []
+    for i in range(max_steps):
+        c, (frames, stops, align) = one_step(
+            variables, c, memory, keys, mask, jax.random.PRNGKey(i)
+        )
+        # the reference materializes each step's output on host
+        outs.append(np.asarray(frames))
+    decode_dt = time.perf_counter() - t0
+    per_step = decode_dt / max_steps
+
+    # Host Griffin-Lim on a short spectrogram, extrapolated per-frame.
+    gl_frames = 64
+    mag = np.abs(np.random.default_rng(0).standard_normal(
+        (gl_frames, cfg.model.num_freq)
+    )).astype(np.float64)
+    gl_cfg = cfg.audio
+    t0 = time.perf_counter()
+    dsp_ref.griffin_lim(mag, gl_cfg)
+    gl_dt = time.perf_counter() - t0
+    gl_per_frame = gl_dt / gl_frames
+
+    return per_step, gl_per_frame
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--quick", action="store_true", help="smaller workload")
+    p.add_argument("--details", help="write detailed JSON here")
+    args = p.parse_args()
+
+    overrides = None
+    if args.quick:
+        overrides = {"model.decoder.max_decode_steps": 50,
+                     "audio.griffin_lim_iters": 8}
+
+    import jax
+
+    cfg, model, state, sample = build(overrides)
+    num_chips = jax.local_device_count()
+
+    audio_seconds, fused_dt, decode_steps = bench_fused(cfg, model, state, sample)
+    fused_tput = audio_seconds / fused_dt / num_chips
+
+    per_step, gl_per_frame = bench_reference_style(
+        cfg, model, state, sample, max_steps=20 if args.quick else 40
+    )
+    frames = decode_steps * cfg.model.decoder.reduction_factor
+    # emulated total: per-step dispatch for every decode step + host GL per frame
+    ref_dt = per_step * decode_steps + gl_per_frame * frames
+    ref_tput = audio_seconds / ref_dt / num_chips
+
+    result = {
+        "metric": "audio_seconds_per_sec_per_chip",
+        "value": round(fused_tput, 3),
+        "unit": "audio-s/s/chip",
+        "vs_baseline": round(fused_tput / ref_tput, 2),
+    }
+    details = {
+        **result,
+        "decode_steps_per_sec": decode_steps / fused_dt,
+        "fused_wall_s": fused_dt,
+        "emulated_reference_wall_s": ref_dt,
+        "emulated_reference_tput": ref_tput,
+        "per_step_dispatch_s": per_step,
+        "gl_host_s_per_frame": gl_per_frame,
+        "audio_seconds": audio_seconds,
+        "num_chips": num_chips,
+        "device": str(jax.devices()[0]),
+        "baseline_note": (
+            "reference TF2 repo publishes no numbers and no checkout exists; "
+            "baseline is the reference ARCHITECTURE (per-step host dispatch + "
+            "host Griffin-Lim) emulated with identical weights on the same "
+            "device — see bench.py docstring"
+        ),
+    }
+    if args.details:
+        with open(args.details, "w") as f:
+            json.dump(details, f, indent=2)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

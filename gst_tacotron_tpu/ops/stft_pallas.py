@@ -1,0 +1,221 @@
+"""Pallas TPU kernel: fused mel/linear STFT feature extraction.
+
+Named per-chip speed-of-light target (BASELINE.json:5 "mel-spectrogram STFT
+features computed as a Pallas kernel"; SURVEY.md §2.2). Replaces the
+reference's librosa/pocketfft C path with an MXU formulation:
+
+    frames (F, n_fft) --@ window-baked DFT cos/sin bases--> real/imag
+      -> |.| -> [write normalized-dB linear tile]
+      -> @ mel basis (accumulated over freq tiles) -> normalized-dB mel
+
+Design notes:
+  * The rFFT is expressed as two matmuls against (n_fft, n_freq) cos/sin
+    bases with the Hann window folded in. For n_fft=2048 that is ~4.2 MFLOP
+    per frame — dense MXU work at 100% utilization, beating an FFT's
+    butterfly data movement on this hardware for these sizes.
+  * Grid = (frame_tiles, freq_tiles); freq is the reduction ("arbitrary")
+    dimension accumulating the mel projection in a VMEM scratch, so the full
+    linear spectrogram never round-trips through HBM for the mel output.
+  * Framing happens OUTSIDE the kernel with the hop-chunk reshape trick
+    (dsp/jax_dsp.py), which XLA lowers to strided copies; the kernel reads
+    contiguous (TILE_F, n_fft) frame tiles.
+  * dB conversion + normalization are fused into the kernel epilogue (VPU).
+
+The pure-jnp JaxDSP path remains the CPU fallback and the parity oracle
+(tests/test_pallas.py runs this kernel in interpreter mode against it).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import AudioConfig
+from ..dsp.mel import mel_filterbank
+from ..dsp.ref import padded_window
+
+TILE_F = 128   # frames per tile (sublane dim)
+TILE_K = 128   # freq bins per tile (lane dim)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.lru_cache(maxsize=8)
+def _bases(cfg: AudioConfig) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """Window-baked DFT cos/sin bases and zero-padded mel basis."""
+    n_fft = cfg.n_fft
+    n_freq = cfg.num_freq
+    n_freq_pad = _round_up(n_freq, TILE_K)
+    n = np.arange(n_fft)[:, None]
+    k = np.arange(n_freq_pad)[None, :]
+    ang = 2.0 * np.pi * n * k / n_fft
+    win = padded_window(cfg.win_length, n_fft)[:, None]
+    cos_b = (np.cos(ang) * win).astype(np.float32)
+    sin_b = (-np.sin(ang) * win).astype(np.float32)
+    # zero the padded freq columns so they contribute nothing
+    cos_b[:, n_freq:] = 0.0
+    sin_b[:, n_freq:] = 0.0
+    mel = mel_filterbank(cfg.sample_rate, n_fft, cfg.num_mels, cfg.mel_fmin,
+                         cfg.mel_fmax)  # (n_mels, n_freq)
+    n_mels_pad = _round_up(cfg.num_mels, TILE_K)
+    mel_pad = np.zeros((n_freq_pad, n_mels_pad), np.float32)
+    mel_pad[:n_freq, : cfg.num_mels] = mel.T
+    return cos_b, sin_b, mel_pad, n_freq_pad
+
+
+def _norm_consts(cfg: AudioConfig):
+    return dict(
+        ref_db=float(cfg.ref_level_db),
+        min_db=float(cfg.min_level_db),
+        symmetric=bool(cfg.symmetric_norm),
+        max_abs=float(cfg.max_abs_value),
+    )
+
+
+def _db_normalize(x, c):
+    db = 20.0 * jnp.log10(jnp.maximum(x, 1e-5)) - c["ref_db"]
+    unit = (db - c["min_db"]) / (-c["min_db"])
+    if c["symmetric"]:
+        return jnp.clip(2.0 * c["max_abs"] * unit - c["max_abs"],
+                        -c["max_abs"], c["max_abs"])
+    return jnp.clip(unit, 0.0, 1.0)
+
+
+def _stft_kernel(frames_ref, cos_ref, sin_ref, mel_ref,
+                 lin_out_ref, mel_out_ref, mel_acc, *, norm, num_freq_tiles,
+                 normalize_linear):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        mel_acc[...] = jnp.zeros_like(mel_acc)
+
+    frames = frames_ref[...]
+    real = jnp.dot(frames, cos_ref[...], preferred_element_type=jnp.float32)
+    imag = jnp.dot(frames, sin_ref[...], preferred_element_type=jnp.float32)
+    mag = jnp.sqrt(real * real + imag * imag)
+
+    if normalize_linear:
+        lin_out_ref[...] = _db_normalize(mag, norm)
+    else:
+        lin_out_ref[...] = mag
+
+    mel_acc[...] += jnp.dot(mag, mel_ref[...], preferred_element_type=jnp.float32)
+
+    @pl.when(j == num_freq_tiles - 1)
+    def _():
+        mel_out_ref[...] = _db_normalize(mel_acc[...], norm)
+
+
+def stft_features_pallas(
+    frames: jnp.ndarray,
+    cfg: AudioConfig,
+    *,
+    normalize_linear: bool = True,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(F, n_fft) raw (un-windowed) frames -> (mel (F, n_mels), linear (F, n_freq)).
+
+    Features are normalized-dB, identical math to JaxDSP.features (the window
+    is baked into the DFT bases here).
+    """
+    cos_b, sin_b, mel_b, n_freq_pad = _bases(cfg)
+    num_frames = frames.shape[0]
+    f_pad = _round_up(max(num_frames, TILE_F), TILE_F)
+    if f_pad != num_frames:
+        frames = jnp.pad(frames, ((0, f_pad - num_frames), (0, 0)))
+
+    n_mels_pad = mel_b.shape[1]
+    num_freq_tiles = n_freq_pad // TILE_K
+    grid = (f_pad // TILE_F, num_freq_tiles)
+
+    kernel = functools.partial(
+        _stft_kernel,
+        norm=_norm_consts(cfg),
+        num_freq_tiles=num_freq_tiles,
+        normalize_linear=normalize_linear,
+    )
+
+    lin, mel = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE_F, cfg.n_fft), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cfg.n_fft, TILE_K), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cfg.n_fft, TILE_K), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_K, n_mels_pad), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TILE_F, TILE_K), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_F, n_mels_pad), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((f_pad, n_freq_pad), jnp.float32),
+            jax.ShapeDtypeStruct((f_pad, n_mels_pad), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((TILE_F, n_mels_pad), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * f_pad * cfg.n_fft * n_freq_pad * 2
+            + 2 * f_pad * n_freq_pad * n_mels_pad,
+            bytes_accessed=4 * (
+                f_pad * cfg.n_fft + 2 * cfg.n_fft * n_freq_pad
+                + f_pad * n_freq_pad + f_pad * n_mels_pad
+            ),
+            transcendentals=f_pad * (n_freq_pad + n_mels_pad),
+        ),
+        interpret=interpret,
+    )(frames, jnp.asarray(cos_b), jnp.asarray(sin_b), jnp.asarray(mel_b))
+
+    return (
+        mel[:num_frames, : cfg.num_mels],
+        lin[:num_frames, : cfg.num_freq],
+    )
+
+
+class PallasDSP:
+    """Drop-in feature extractor using the fused kernel (TPU path).
+
+    Mirrors JaxDSP.features: wav (B, S) -> (mel (B, T, n_mels),
+    linear (B, T, n_freq)); preemphasis + framing reuse the jnp helpers.
+    """
+
+    def __init__(self, cfg: AudioConfig, interpret: bool = False):
+        from ..dsp.jax_dsp import JaxDSP
+
+        self.cfg = cfg
+        self.interpret = interpret
+        self._jdsp = JaxDSP(cfg)
+
+    def features(self, wav: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        b = wav.shape[0]
+        frames = self._jdsp._frame(self._jdsp.preemphasis(wav))  # (B, T, n_fft)
+        t = frames.shape[1]
+        flat = frames.reshape(b * t, self.cfg.n_fft)
+        mel, lin = stft_features_pallas(flat, self.cfg, interpret=self.interpret)
+        return (
+            mel.reshape(b, t, self.cfg.num_mels),
+            lin.reshape(b, t, self.cfg.num_freq),
+        )
+
+    def mel_spectrogram(self, wav: jnp.ndarray) -> jnp.ndarray:
+        return self.features(wav)[0]
+
+    def linear_spectrogram(self, wav: jnp.ndarray) -> jnp.ndarray:
+        return self.features(wav)[1]

@@ -31,7 +31,8 @@ _RULES: List[Tuple[str, Dict[int, P]]] = [
     (r".*decoder/cell/frame_proj/kernel$", {2: P(None, MODEL_AXIS)}),
     (r".*decoder/cell/decoder_input_proj/kernel$", {2: P(None, MODEL_AXIS)}),
     (r".*decoder/cell/decoder_rnn_\d+/kernel$", {2: P(None, MODEL_AXIS)}),
-    (r".*encoder/embedding/embedding$", {2: P(MODEL_AXIS, None)}),
+    # feature-dim sharding (vocab sizes are small and rarely divisible)
+    (r".*encoder/embedding/embedding$", {2: P(None, MODEL_AXIS)}),
     (r".*wavernn.*/(gru|fc1|fc2)/kernel$", {2: P(None, MODEL_AXIS)}),
 ]
 

@@ -215,7 +215,16 @@ class Trainer:
             shard_index=jax.process_index(), num_shards=num_shards,
             seed=cfg.train.seed,
         )
-        sample = next(iter(self.loader.epoch(0)))
+        try:
+            sample = next(iter(self.loader.epoch(0)))
+        except StopIteration:
+            counts = [len(m) for m in self.loader.bucket_members]
+            raise ValueError(
+                f"loader produced no batches: bucket member counts {counts} "
+                f"for buckets {cfg.data.buckets} (batch_size="
+                f"{self.loader.batch_size}); check bucket bounds vs corpus "
+                "lengths"
+            )
         self.model, self.state = init_state(
             cfg, jax.random.PRNGKey(cfg.train.seed), sample
         )

@@ -1,0 +1,46 @@
+"""Pallas kernel parity tests (interpreter mode on CPU; SURVEY.md §4
+"Pallas kernel vs jnp-reference kernel allclose")."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gst_tacotron_tpu.config import AudioConfig
+from gst_tacotron_tpu.dsp.jax_dsp import JaxDSP
+from gst_tacotron_tpu.ops.stft_pallas import PallasDSP, stft_features_pallas
+
+SMALL = AudioConfig(n_fft=512, hop_length=128, win_length=512)
+
+
+def make_wav(n=4096, batch=2):
+    rng = np.random.default_rng(3)
+    t = np.arange(n) / 22050
+    wav = 0.4 * np.sin(2 * np.pi * 330 * t)[None, :] + 0.05 * rng.standard_normal(
+        (batch, n)
+    )
+    return jnp.asarray(wav, jnp.float32)
+
+
+def test_stft_kernel_matches_jnp_features():
+    wav = make_wav()
+    jdsp = JaxDSP(SMALL)
+    pdsp = PallasDSP(SMALL, interpret=True)
+    mel_ref, lin_ref = jdsp.features(wav)
+    mel_k, lin_k = pdsp.features(wav)
+    assert mel_k.shape == mel_ref.shape
+    assert lin_k.shape == lin_ref.shape
+    # normalized-dB units in [0,1]; DFT-matmul vs rfft agree to ~1e-3
+    np.testing.assert_allclose(np.asarray(mel_k), np.asarray(mel_ref), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(lin_k), np.asarray(lin_ref), atol=5e-3)
+
+
+def test_stft_kernel_frame_padding():
+    """Frame counts that don't divide the tile must round-trip unchanged."""
+    cfg = SMALL
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.standard_normal((37, cfg.n_fft)), jnp.float32)
+    mel, lin = stft_features_pallas(frames, cfg, interpret=True)
+    assert mel.shape == (37, cfg.num_mels)
+    assert lin.shape == (37, cfg.num_freq)
+    assert np.all(np.isfinite(np.asarray(mel)))

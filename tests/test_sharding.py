@@ -1,0 +1,118 @@
+"""Distributed tests on the fake 8-device CPU mesh (SURVEY.md §4
+"Distributed without a cluster"): mesh factory, TP param placement, sharded
+train step with gradient DP, and decode-state collectives."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from gst_tacotron_tpu.parallel import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    describe_sharding,
+    make_mesh,
+    param_shardings,
+    shard_batch,
+    shard_params,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 fake CPU devices"
+)
+
+
+def test_mesh_factory_shapes():
+    mesh = make_mesh(model_parallelism=2)
+    assert mesh.axis_names == (DATA_AXIS, MODEL_AXIS)
+    assert mesh.devices.shape == (4, 2)
+    with pytest.raises(ValueError):
+        make_mesh(model_parallelism=3)
+
+
+def test_param_sharding_rules():
+    params = {
+        "decoder": {"cell": {"frame_proj": {"kernel": np.zeros((8, 16)),
+                                            "bias": np.zeros((16,))}}},
+        "encoder": {"embedding": {"embedding": np.zeros((64, 8))}},
+        "other": {"kernel": np.zeros((4, 4))},
+    }
+    desc = describe_sharding(params)
+    assert "model" in desc["decoder/cell/frame_proj/kernel"]
+    assert desc["decoder/cell/frame_proj/bias"] == "PartitionSpec()"
+    assert "model" in desc["encoder/embedding/embedding"]
+    assert desc["other/kernel"] == "PartitionSpec()"
+
+    mesh = make_mesh(model_parallelism=2)
+    sharded = shard_params(params, mesh)
+    k = sharded["decoder"]["cell"]["frame_proj"]["kernel"]
+    # output dim split over 2 model shards
+    assert k.sharding.spec == P(None, MODEL_AXIS)
+
+
+def test_sharded_train_step_runs_dp_and_tp(tmp_path):
+    """Full train step jitted over a (4, 2) mesh on tiny shapes."""
+    from gst_tacotron_tpu.config import apply_overrides, get_preset
+    from gst_tacotron_tpu.data import generate_patterns, synthetic_utterances
+    from gst_tacotron_tpu.data.loader import BucketedLoader, PatternDataset
+    from gst_tacotron_tpu.train import Trainer
+
+    ov = {
+        "audio.n_fft": 512, "audio.hop_length": 128, "audio.win_length": 512,
+        "model.num_freq": 257,
+        "model.encoder.embedding_dim": 32, "model.encoder.prenet_dims": [32, 16],
+        "model.encoder.cbhg_bank_k": 2, "model.encoder.cbhg_bank_channels": 16,
+        "model.encoder.cbhg_proj_channels": [16, 16],
+        "model.encoder.cbhg_highway_layers": 1,
+        "model.encoder.cbhg_highway_dim": 16, "model.encoder.cbhg_gru_dim": 16,
+        "model.gst.ref_conv_channels": [4, 8], "model.gst.ref_gru_dim": 16,
+        "model.gst.style_dim": 16, "model.attention.dim": 16,
+        "model.decoder.prenet_dims": [32, 16],
+        "model.decoder.attention_rnn_dim": 16,
+        "model.decoder.decoder_rnn_dim": 16,
+        "model.postnet.cbhg_bank_k": 2, "model.postnet.cbhg_bank_channels": 8,
+        "model.postnet.cbhg_proj_channels": [16, 80],
+        "model.postnet.cbhg_highway_layers": 1,
+        "model.postnet.cbhg_highway_dim": 16, "model.postnet.cbhg_gru_dim": 16,
+        "data.batch_size": 4, "data.buckets": [[128, 1024]],
+    }
+    cfg = apply_overrides(get_preset("gst_lj"), ov)
+    patterns = str(tmp_path / "patterns")
+    generate_patterns(synthetic_utterances(8), cfg.audio, patterns)
+
+    mesh = make_mesh(model_parallelism=2)
+    trainer = Trainer(cfg, patterns, str(tmp_path / "work"), mesh=mesh)
+    batch = trainer._device_batch(next(iter(trainer.loader)))
+    # batch is sharded over data axis
+    assert batch["mel"].sharding.spec == P("data")
+    state, metrics = trainer.step_fn(trainer.state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    state, metrics2 = trainer.step_fn(state, batch)
+    assert np.isfinite(float(metrics2["loss"]))
+
+
+def test_decode_state_collectives():
+    """Distributed synthesis state exchange: stop-flag consensus via psum and
+    context all-gather across the data axis (SURVEY.md §2.3)."""
+    from functools import partial
+
+    mesh = make_mesh(model_parallelism=1)  # 8-way data
+
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS, None)),
+        out_specs=(P(), P(None, None)),
+        check_vma=False,
+    )
+    def exchange(finished, context):
+        total = jax.lax.psum(jnp.sum(finished.astype(jnp.int32)), DATA_AXIS)
+        gathered = jax.lax.all_gather(context, DATA_AXIS, tiled=True)
+        return jnp.reshape(total, (1,)), gathered
+
+    finished = jnp.array([True] * 8)
+    context = jnp.arange(16.0).reshape(8, 2)
+    total, gathered = exchange(finished, context)
+    assert int(total[0]) == 8
+    assert gathered.shape == (8, 2)
+    np.testing.assert_allclose(np.asarray(gathered), np.asarray(context))
