@@ -42,14 +42,38 @@ class JaxDSP:
 
     Methods are pure jnp functions of their array arguments (config constants
     are baked in), so they jit/vmap/shard cleanly.
+
+    TPU note: this backend implements rfft but NOT irfft (verified:
+    jnp.fft.irfft raises UNIMPLEMENTED on the v5e runtime here), and complex
+    dtypes are second-class on TPU generally. The forward/inverse transforms
+    therefore default to real-pair DFT-as-matmul (cos/sin bases on the MXU) —
+    the same formulation as the Pallas STFT kernel — keeping Griffin-Lim
+    fully on-device. `use_fft=True` selects the complex-FFT path (CPU
+    testing/debugging only).
     """
 
-    def __init__(self, cfg: AudioConfig):
+    def __init__(self, cfg: AudioConfig, use_fft: bool = False):
         self.cfg = cfg
+        self.use_fft = use_fft
         self.window = jnp.asarray(padded_window(cfg.win_length, cfg.n_fft), jnp.float32)
         self.mel_basis = jnp.asarray(
             mel_filterbank(cfg.sample_rate, cfg.n_fft, cfg.num_mels, cfg.mel_fmin, cfg.mel_fmax)
         )  # (num_mels, num_freq)
+        # real-pair DFT bases (forward: (n_fft, F); inverse: (F, n_fft))
+        n_fft, n_freq = cfg.n_fft, cfg.num_freq
+        n = np.arange(n_fft)[:, None].astype(np.float64)
+        k = np.arange(n_freq)[None, :].astype(np.float64)
+        ang = 2.0 * np.pi * n * k / n_fft
+        self.dft_cos = jnp.asarray(np.cos(ang), jnp.float32)        # (n_fft, F)
+        self.dft_sin = jnp.asarray(-np.sin(ang), jnp.float32)       # (n_fft, F)
+        w = np.full((n_freq,), 2.0)
+        w[0] = 1.0
+        if n_fft % 2 == 0:
+            w[-1] = 1.0
+        self.idft_cos = jnp.asarray((w[:, None] * np.cos(ang.T)) / n_fft,
+                                    jnp.float32)                     # (F, n_fft)
+        self.idft_sin = jnp.asarray((-w[:, None] * np.sin(ang.T)) / n_fft,
+                                    jnp.float32)                     # (F, n_fft)
 
     # -- framing ------------------------------------------------------------
     #
@@ -78,13 +102,26 @@ class JaxDSP:
 
     # -- forward STFT / features -------------------------------------------
 
+    def stft_ri(self, wav: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """(B, S) -> real/imag pair, each (B, T, num_freq). Matmul DFT."""
+        frames = self._frame(wav) * self.window[None, None, :]
+        re = jnp.einsum("btn,nf->btf", frames, self.dft_cos)
+        im = jnp.einsum("btn,nf->btf", frames, self.dft_sin)
+        return re, im
+
     def stft(self, wav: jnp.ndarray) -> jnp.ndarray:
         """(B, S) -> complex (B, T, num_freq)."""
-        frames = self._frame(wav) * self.window[None, None, :]
-        return jnp.fft.rfft(frames, n=self.cfg.n_fft, axis=-1)
+        if self.use_fft:
+            frames = self._frame(wav) * self.window[None, None, :]
+            return jnp.fft.rfft(frames, n=self.cfg.n_fft, axis=-1)
+        re, im = self.stft_ri(wav)
+        return re + 1j * im
 
     def magnitude(self, wav: jnp.ndarray) -> jnp.ndarray:
-        return jnp.abs(self.stft(wav))
+        if self.use_fft:
+            return jnp.abs(self.stft(wav))
+        re, im = self.stft_ri(wav)
+        return jnp.sqrt(re * re + im * im)
 
     def linear_spectrogram(self, wav: jnp.ndarray) -> jnp.ndarray:
         """(B, S) -> normalized linear dB spect (B, T, num_freq)."""
@@ -122,13 +159,12 @@ class JaxDSP:
             out = out.at[:, j : j + num_frames].add(chunks[:, :, j])
         return out.reshape(b, out_chunks * cfg.hop_length)
 
-    def istft(self, spect: jnp.ndarray) -> jnp.ndarray:
-        """complex (B, T, num_freq) -> (B, S) with S = hop * (T - 1)."""
+    def _istft_frames(self, frames: jnp.ndarray) -> jnp.ndarray:
+        """Shared tail of the inverse: window, overlap-add, normalize, crop."""
         cfg = self.cfg
-        frames = jnp.fft.irfft(spect, n=cfg.n_fft, axis=-1) * self.window[None, None, :]
-        num_frames = spect.shape[1]
+        num_frames = frames.shape[1]
         total = cfg.n_fft + cfg.hop_length * (num_frames - 1)
-        out = self._overlap_add(frames)
+        out = self._overlap_add(frames * self.window[None, None, :])
         winsq = (self.window * self.window)[None, None, :]
         norm = self._overlap_add(
             jnp.broadcast_to(winsq, (1, num_frames, cfg.n_fft))
@@ -136,28 +172,53 @@ class JaxDSP:
         out = out / jnp.maximum(norm, 1e-10)
         return out[:, cfg.n_fft // 2 : total - cfg.n_fft // 2]
 
+    def istft_ri(self, re: jnp.ndarray, im: jnp.ndarray) -> jnp.ndarray:
+        """Real-pair (B, T, num_freq) -> (B, S). Inverse DFT as matmul (the
+        TPU backend has no irfft — see class docstring)."""
+        frames = (
+            jnp.einsum("btf,fn->btn", re, self.idft_cos)
+            + jnp.einsum("btf,fn->btn", im, self.idft_sin)
+        )
+        return self._istft_frames(frames)
+
+    def istft(self, spect: jnp.ndarray) -> jnp.ndarray:
+        """complex (B, T, num_freq) -> (B, S) with S = hop * (T - 1)."""
+        if self.use_fft:
+            frames = jnp.fft.irfft(spect, n=self.cfg.n_fft, axis=-1)
+            return self._istft_frames(frames)
+        return self.istft_ri(jnp.real(spect), jnp.imag(spect))
+
     def griffin_lim(self, magnitude: jnp.ndarray, key: jax.Array | None = None) -> jnp.ndarray:
         """(B, T, num_freq) magnitude -> (B, S) waveform.
 
         The reference runs ~60 host-side librosa iterations (SURVEY.md §3.3
-        "second hot loop"); here the whole loop is one on-device fori_loop.
+        "second hot loop"); here the whole loop is one on-device fori_loop of
+        real-pair matmul DFTs (MXU work, no complex dtypes).
         """
         cfg = self.cfg
         if key is None:
-            phase = jnp.ones_like(magnitude)
+            re = magnitude
+            im = jnp.zeros_like(magnitude)
         else:
             ang = jax.random.uniform(key, magnitude.shape, maxval=2.0 * np.pi)
-            phase = jnp.exp(1j * ang.astype(jnp.float32)).astype(jnp.complex64)
-        s = magnitude.astype(jnp.complex64) * phase
+            re = magnitude * jnp.cos(ang)
+            im = magnitude * jnp.sin(ang)
+
+        win = self.window[None, None, :]
 
         def body(_, s):
-            wav = self.istft(s)
-            rebuilt = self.stft(wav)
-            phase = rebuilt / jnp.maximum(jnp.abs(rebuilt), 1e-16)
-            return magnitude * phase
+            re, im = s
+            wav = self.istft_ri(re, im)
+            frames = self._frame(wav) * win
+            re2 = jnp.einsum("btn,nf->btf", frames, self.dft_cos)
+            im2 = jnp.einsum("btn,nf->btf", frames, self.dft_sin)
+            scale = magnitude / jnp.maximum(
+                jnp.sqrt(re2 * re2 + im2 * im2), 1e-16
+            )
+            return re2 * scale, im2 * scale
 
-        s = jax.lax.fori_loop(0, cfg.griffin_lim_iters, body, s)
-        return self.istft(s)
+        re, im = jax.lax.fori_loop(0, cfg.griffin_lim_iters, body, (re, im))
+        return self.istft_ri(re, im)
 
     def inv_linear_spectrogram(
         self, spect: jnp.ndarray, key: jax.Array | None = None
