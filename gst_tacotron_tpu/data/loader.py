@@ -58,12 +58,15 @@ class PatternDataset:
         entry = self.entries[idx]
         with np.load(os.path.join(self.pattern_dir, entry["file"]),
                      allow_pickle=False) as z:
-            return {
+            out = {
                 "tokens": z["tokens"],
                 "mel": z["mel"],
                 "linear": z["linear"],
                 "speaker_id": z["speaker_id"],
             }
+            if "wav" in z:
+                out["wav"] = z["wav"]
+            return out
 
 
 class BucketedLoader:

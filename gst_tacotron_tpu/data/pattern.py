@@ -170,8 +170,12 @@ def load_wav(path: str, target_sr: int) -> np.ndarray:
 
 
 def extract_pattern(utt: Utterance, audio: AudioConfig, out_dir: str,
-                    reduction_factor: int = 1) -> Optional[dict]:
-    """Extract and write one pattern file; returns its metadata entry."""
+                    store_wav: bool = False) -> Optional[dict]:
+    """Extract and write one pattern file; returns its metadata entry.
+
+    `store_wav` additionally stores the (normalized) waveform — needed for
+    neural-vocoder training (config 5), where targets are samples not frames.
+    """
     tokens = np.asarray(text_to_ids(utt.text), np.int32)
     if utt.wav_path is None:
         wav = synthesize_wav(utt, audio)
@@ -188,14 +192,16 @@ def extract_pattern(utt: Utterance, audio: AudioConfig, out_dir: str,
     linear = dsp_ref.spectrogram(wav, audio)
 
     path = os.path.join(out_dir, utt.utt_id + ".npz")
-    np.savez_compressed(
-        path,
+    arrays = dict(
         tokens=tokens,
         mel=mel.astype(np.float32),
         linear=linear.astype(np.float32),
         speaker_id=np.int32(utt.speaker_id),
         text=np.str_(utt.text),
     )
+    if store_wav:
+        arrays["wav"] = wav.astype(np.float32)
+    np.savez_compressed(path, **arrays)
     return {
         "id": utt.utt_id,
         "file": os.path.basename(path),
@@ -213,6 +219,7 @@ def generate_patterns(
     num_workers: int = 1,
     max_text_len: int = 10000,
     max_mel_frames: int = 100000,
+    store_wav: bool = False,
 ) -> dict:
     os.makedirs(out_dir, exist_ok=True)
     utts = list(utts)
@@ -220,10 +227,11 @@ def generate_patterns(
     if num_workers > 1:
         with ProcessPoolExecutor(num_workers) as pool:
             results = pool.map(
-                extract_pattern, utts, [audio] * len(utts), [out_dir] * len(utts)
+                extract_pattern, utts, [audio] * len(utts), [out_dir] * len(utts),
+                [store_wav] * len(utts),
             )
     else:
-        results = (extract_pattern(u, audio, out_dir) for u in utts)
+        results = (extract_pattern(u, audio, out_dir, store_wav) for u in utts)
     for entry in results:
         if entry is None:
             continue
@@ -260,6 +268,8 @@ def main(argv: Optional[List[str]] = None) -> None:
     p.add_argument("--num-speakers", type=int, default=1,
                    help="synthetic speaker count")
     p.add_argument("--workers", type=int, default=os.cpu_count() or 1)
+    p.add_argument("--store-wav", action="store_true",
+                   help="also store waveforms (for vocoder training)")
     args = p.parse_args(argv)
 
     cfg: Config = load_config(args.config) if args.config else get_preset("taco1_lj")
@@ -271,7 +281,8 @@ def main(argv: Optional[List[str]] = None) -> None:
         utts = synthetic_utterances(args.num_utterances, args.num_speakers)
     meta = generate_patterns(utts, cfg.audio, args.out, num_workers=args.workers,
                              max_text_len=cfg.data.max_text_len,
-                             max_mel_frames=cfg.data.max_mel_frames)
+                             max_mel_frames=cfg.data.max_mel_frames,
+                             store_wav=args.store_wav)
     print(f"wrote {len(meta['entries'])} patterns to {args.out}")
 
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import Any, Dict, Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..config import ModelConfig
@@ -66,13 +67,15 @@ class GSTTacotron(nn.Module):
         train: bool,
     ):
         c = self.cfg
-        enc = self.encoder(tokens, token_lengths, train=train)
+        with jax.named_scope("encoder"):
+            enc = self.encoder(tokens, token_lengths, train=train)
         parts = [enc]
         aux: Dict[str, Any] = {}
         if c.gst.enabled:
-            style, style_attn = self.gst(
-                ref_mel, ref_mel_lengths, token_weights, train=train
-            )
+            with jax.named_scope("gst"):
+                style, style_attn = self.gst(
+                    ref_mel, ref_mel_lengths, token_weights, train=train
+                )
             aux["style_embedding"] = style
             aux["style_attention"] = style_attn
             parts.append(
@@ -115,11 +118,13 @@ class GSTTacotron(nn.Module):
             tokens, token_lengths, ref_mel, ref_mel_lengths, token_weights,
             speaker_ids, train,
         )
-        mel_out, stop_logits, alignments = self.decoder.teacher_forced(
-            memory, token_lengths, mel_targets,
-            deterministic_prenet=deterministic_prenet,
-        )
-        linear_out = self.postnet(mel_out, None, train=train)
+        with jax.named_scope("decoder_teacher_forced"):
+            mel_out, stop_logits, alignments = self.decoder.teacher_forced(
+                memory, token_lengths, mel_targets,
+                deterministic_prenet=deterministic_prenet,
+            )
+        with jax.named_scope("postnet"):
+            linear_out = self.postnet(mel_out, None, train=train)
         return {
             "mel": mel_out,
             "linear": linear_out,
@@ -145,11 +150,13 @@ class GSTTacotron(nn.Module):
             tokens, token_lengths, ref_mel, ref_mel_lengths, token_weights,
             speaker_ids, False,
         )
-        mel_out, stop_logits, alignments, frame_lengths = self.decoder.decode(
-            memory, token_lengths, max_steps=max_steps,
-            deterministic_prenet=deterministic_prenet,
-        )
-        linear_out = self.postnet(mel_out, frame_lengths, train=False)
+        with jax.named_scope("decoder_ar_scan"):
+            mel_out, stop_logits, alignments, frame_lengths = self.decoder.decode(
+                memory, token_lengths, max_steps=max_steps,
+                deterministic_prenet=deterministic_prenet,
+            )
+        with jax.named_scope("postnet"):
+            linear_out = self.postnet(mel_out, frame_lengths, train=False)
         return {
             "mel": mel_out,
             "linear": linear_out,

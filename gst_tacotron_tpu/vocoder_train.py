@@ -1,0 +1,182 @@
+"""WaveRNN vocoder trainer (config 5, BASELINE.json:11).
+
+A separate training stage from the seq2seq model (as in WaveRNN practice):
+consumes patterns generated with --store-wav, crops fixed-size (mel segment,
+wav segment) pairs — static shapes, one compiled program — and optimizes the
+teacher-forced mu-law cross-entropy. Data-parallel over the mesh `data` axis;
+the GRU/FC kernels carry the `model`-axis TP rules (parallel/sharding.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+import time
+from typing import Any, Dict, Iterator, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .checkpoint import CheckpointManager
+from .config import Config, apply_overrides, get_preset, load_config, parse_cli_overrides
+from .data.loader import PatternDataset
+from .metrics import MetricLogger
+from .models.wavernn import WaveRNN
+from .train import TrainState, make_optimizer
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+class VocoderSegmentLoader:
+    """Yields {mel (B, F, M), wav (B, F*hop)} random crops, fixed shapes."""
+
+    def __init__(self, dataset: PatternDataset, hop: int, *,
+                 segment_frames: int = 24, batch_size: int = 16, seed: int = 0,
+                 shard_index: int = 0, num_shards: int = 1):
+        self.ds = dataset
+        self.hop = hop
+        self.segment_frames = segment_frames
+        self.batch_size = batch_size
+        self.rng = np.random.default_rng((seed, shard_index))
+        # only utterances long enough and containing wav
+        self.usable = []
+        for i, e in enumerate(dataset.entries):
+            if e["mel_len"] > segment_frames + 2:
+                self.usable.append(i)
+        self.usable = self.usable[shard_index::num_shards] or self.usable
+        if not self.usable:
+            raise ValueError("no usable utterances for vocoder training")
+        item = dataset.load(self.usable[0])
+        if "wav" not in item:
+            raise ValueError(
+                "patterns lack waveforms; regenerate with --store-wav"
+            )
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        f = self.segment_frames
+        while True:
+            mel_b = np.zeros((self.batch_size, f, self.ds.load(self.usable[0])["mel"].shape[1]), np.float32)
+            wav_b = np.zeros((self.batch_size, f * self.hop), np.float32)
+            for j in range(self.batch_size):
+                idx = int(self.rng.choice(self.usable))
+                item = self.ds.load(idx)
+                mel, wav = item["mel"], item["wav"]
+                max_start = min(mel.shape[0] - f,
+                                (len(wav) - f * self.hop) // self.hop)
+                start = int(self.rng.integers(0, max(1, max_start)))
+                mel_b[j] = mel[start : start + f]
+                seg = wav[start * self.hop : (start + f) * self.hop]
+                wav_b[j, : len(seg)] = seg
+            yield {"mel": mel_b, "wav": wav_b}
+
+
+class VocoderTrainer:
+    def __init__(self, cfg: Config, pattern_dir: str, work_dir: str,
+                 mesh: Optional[Mesh] = None, segment_frames: int = 24,
+                 batch_size: int = 16):
+        self.cfg = cfg
+        self.mesh = mesh
+        os.makedirs(work_dir, exist_ok=True)
+        ds = PatternDataset(pattern_dir, cfg.data.metadata_file)
+        self.loader = VocoderSegmentLoader(
+            ds, cfg.model.vocoder.wavernn_hop,
+            segment_frames=segment_frames, batch_size=batch_size,
+            seed=cfg.train.seed, shard_index=jax.process_index(),
+            num_shards=jax.process_count(),
+        )
+        self.model = WaveRNN(cfg.model.vocoder, cfg.model.num_mels)
+        batch = next(iter(self.loader))
+        variables = self.model.init(
+            jax.random.PRNGKey(cfg.train.seed),
+            jnp.asarray(batch["mel"]), jnp.asarray(batch["wav"]),
+        )
+        self.tx = make_optimizer(cfg.optimizer)
+        self.state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=variables["params"],
+            batch_stats={},
+            opt_state=self.tx.init(variables["params"]),
+            rng=jax.random.PRNGKey(cfg.train.seed + 1),
+        )
+        self.step_fn = self._make_step()
+        self.ckpt = CheckpointManager(os.path.join(work_dir, "vocoder_ckpt"),
+                                      keep=cfg.train.keep_checkpoints)
+        self.logger = MetricLogger(os.path.join(work_dir, "vocoder_logs"))
+
+    def _make_step(self):
+        model, tx = self.model, self.tx
+
+        def step(state: TrainState, batch):
+            def loss_fn(params):
+                return model.apply({"params": params}, batch["mel"],
+                                   batch["wav"], method=model.loss)
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            return state.replace(step=state.step + 1, params=params,
+                                 opt_state=opt_state), {"loss": loss}
+
+        if self.mesh is None:
+            return jax.jit(step, donate_argnums=(0,))
+        batch_sharding = NamedSharding(self.mesh, P("data"))
+        return jax.jit(step, in_shardings=(None, batch_sharding),
+                       donate_argnums=(0,))
+
+    def train(self, total_steps: int) -> TrainState:
+        it = iter(self.loader)
+        t0, window = time.time(), 0
+        for _ in range(int(self.state.step), total_steps):
+            batch = {k: jnp.asarray(v) for k, v in next(it).items()}
+            if self.mesh is not None:
+                from .parallel import shard_batch
+                batch = shard_batch(batch, self.mesh)
+            self.state, metrics = self.step_fn(self.state, batch)
+            window += 1
+            step = int(self.state.step)
+            if step % self.cfg.train.log_every == 0:
+                dt = time.time() - t0
+                self.logger.write(step, {
+                    "loss": float(metrics["loss"]),
+                    "steps_per_sec": window / max(dt, 1e-9),
+                }, prefix="vocoder")
+                t0, window = time.time(), 0
+            if step % self.cfg.train.checkpoint_every == 0:
+                self.ckpt.save(step, jax.device_get(self.state))
+        self.ckpt.save(int(self.state.step), jax.device_get(self.state))
+        self.ckpt.wait()
+        return self.state
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Train the WaveRNN vocoder stage")
+    p.add_argument("--preset", default="gst_wavernn")
+    p.add_argument("--config")
+    p.add_argument("--patterns", required=True)
+    p.add_argument("--workdir", required=True)
+    p.add_argument("--steps", type=int, default=100000)
+    p.add_argument("--segment-frames", type=int, default=24)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("overrides", nargs="*")
+    args = p.parse_args(argv)
+
+    cfg = load_config(args.config) if args.config else get_preset(args.preset)
+    if args.overrides:
+        cfg = apply_overrides(cfg, parse_cli_overrides(args.overrides))
+
+    mesh = None
+    if len(jax.devices()) > 1:
+        from .parallel import make_mesh
+        mesh = make_mesh(1)
+
+    trainer = VocoderTrainer(cfg, args.patterns, args.workdir, mesh,
+                             segment_frames=args.segment_frames,
+                             batch_size=args.batch_size)
+    trainer.train(args.steps)
+
+
+if __name__ == "__main__":
+    main()
