@@ -55,25 +55,29 @@ class JaxDSP:
     def __init__(self, cfg: AudioConfig, use_fft: bool = False):
         self.cfg = cfg
         self.use_fft = use_fft
-        self.window = jnp.asarray(padded_window(cfg.win_length, cfg.n_fft), jnp.float32)
-        self.mel_basis = jnp.asarray(
-            mel_filterbank(cfg.sample_rate, cfg.n_fft, cfg.num_mels, cfg.mel_fmin, cfg.mel_fmax)
+        # NOTE: all constants are kept as NUMPY arrays on purpose: jit inlines
+        # numpy closures as HLO literals, whereas closed-over committed device
+        # arrays stall the axon remote-compile path (measured: np-const matmul
+        # compiles in ~4s, dev-const version hangs for minutes).
+        self.window = padded_window(cfg.win_length, cfg.n_fft).astype(np.float32)
+        self.mel_basis = mel_filterbank(
+            cfg.sample_rate, cfg.n_fft, cfg.num_mels, cfg.mel_fmin, cfg.mel_fmax
         )  # (num_mels, num_freq)
         # real-pair DFT bases (forward: (n_fft, F); inverse: (F, n_fft))
         n_fft, n_freq = cfg.n_fft, cfg.num_freq
         n = np.arange(n_fft)[:, None].astype(np.float64)
         k = np.arange(n_freq)[None, :].astype(np.float64)
         ang = 2.0 * np.pi * n * k / n_fft
-        self.dft_cos = jnp.asarray(np.cos(ang), jnp.float32)        # (n_fft, F)
-        self.dft_sin = jnp.asarray(-np.sin(ang), jnp.float32)       # (n_fft, F)
+        self.dft_cos = np.cos(ang).astype(np.float32)        # (n_fft, F)
+        self.dft_sin = (-np.sin(ang)).astype(np.float32)     # (n_fft, F)
         w = np.full((n_freq,), 2.0)
         w[0] = 1.0
         if n_fft % 2 == 0:
             w[-1] = 1.0
-        self.idft_cos = jnp.asarray((w[:, None] * np.cos(ang.T)) / n_fft,
-                                    jnp.float32)                     # (F, n_fft)
-        self.idft_sin = jnp.asarray((-w[:, None] * np.sin(ang.T)) / n_fft,
-                                    jnp.float32)                     # (F, n_fft)
+        self.idft_cos = ((w[:, None] * np.cos(ang.T)) / n_fft).astype(
+            np.float32)                                      # (F, n_fft)
+        self.idft_sin = ((-w[:, None] * np.sin(ang.T)) / n_fft).astype(
+            np.float32)                                      # (F, n_fft)
 
     # -- framing ------------------------------------------------------------
     #

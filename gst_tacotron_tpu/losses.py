@@ -49,6 +49,11 @@ def compute_losses(
     audio_cfg: AudioConfig,
 ) -> Dict[str, jnp.ndarray]:
     """Returns {"loss", "mel_loss", "linear_loss", "stop_loss"}."""
+    # losses always accumulate in float32 (outputs may be bfloat16)
+    outputs = {
+        k: (v.astype(jnp.float32) if hasattr(v, "astype") else v)
+        for k, v in outputs.items()
+    }
     mel_lengths = batch.get("mel_lengths")
     time = outputs["mel"].shape[1]
     mask = sequence_mask(mel_lengths, time) if mel_lengths is not None else None

@@ -112,12 +112,16 @@ class DecoderCell(nn.Module):
         step_stopped = jnp.any(
             jax.nn.sigmoid(stop_logits) > c.stop_threshold, axis=-1
         )
+        # Cast every carried array to the compute dtype: mixed-precision
+        # promotions upstream (e.g. float32 memory) must not change the scan
+        # carry signature between steps.
+        dt = self.dtype
         new_carry = {
-            "attn_rnn_h": attn_h,
-            "dec_h": tuple(new_dec_h),
-            "context": context,
-            "attn_state": attn_state,
-            "last_frame": last_frame,
+            "attn_rnn_h": attn_h.astype(dt),
+            "dec_h": tuple(h.astype(dt) for h in new_dec_h),
+            "context": context.astype(dt),
+            "attn_state": {k: v.astype(dt) for k, v in attn_state.items()},
+            "last_frame": last_frame.astype(dt),
             "finished": jnp.logical_or(carry["finished"], step_stopped),
         }
         return new_carry, (frames, stop_logits, alignment)
@@ -174,8 +178,10 @@ class Decoder(nn.Module):
         steps = t_mel // r
 
         # Step input i is the last frame of target group i-1 (go frame for i=0).
-        last_of_group = mel_targets[:, r - 1 :: r, :]          # (B, S, M)
-        go = jnp.zeros((b, 1, self.num_mels), mel_targets.dtype)
+        # Cast to the compute dtype so the scan carry (last_frame) is
+        # dtype-stable under bfloat16 compute.
+        last_of_group = mel_targets[:, r - 1 :: r, :].astype(self.dtype)
+        go = jnp.zeros((b, 1, self.num_mels), self.dtype)
         step_inputs = jnp.concatenate([go, last_of_group[:, :-1]], axis=1)
         step_inputs = jnp.moveaxis(step_inputs, 1, 0)           # (S, B, M)
 

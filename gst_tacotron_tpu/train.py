@@ -84,7 +84,10 @@ def make_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
 
 def build_model(cfg: Config) -> GSTTacotron:
     num_symbols = cfg.model.num_symbols or NUM_SYMBOLS
-    return GSTTacotron(cfg.model, num_symbols)
+    # compute dtype: bfloat16 puts the matmul-heavy paths on the MXU's native
+    # input dtype (params stay float32 — flax dtype vs param_dtype split)
+    dtype = getattr(jnp, cfg.model.compute_dtype)
+    return GSTTacotron(cfg.model, num_symbols, dtype=dtype)
 
 
 def init_state(cfg: Config, rng: jax.Array, sample_batch: Dict[str, np.ndarray]
