@@ -60,6 +60,13 @@ class Synthesizer:
             max_steps=max_steps,
         )
         wav = self.dsp.inv_linear_spectrogram(out["linear"])
+        # diagonality metric inside the jit: eager ops are pathologically
+        # slow on the remote-compile TPU path (one program per op)
+        r = self.cfg.model.decoder.reduction_factor
+        out["diagonality"] = alignment_diagonality(
+            out["alignments"], token_lengths,
+            jnp.maximum(1, out["frame_lengths"] // r),
+        )
         return out, wav
 
     # -- public API ---------------------------------------------------------
@@ -114,12 +121,7 @@ class Synthesizer:
             max_steps=steps,
         )
         frame_lengths = np.asarray(out["frame_lengths"])
-        diag = alignment_diagonality(
-            out["alignments"], jnp.asarray(lengths),
-            jnp.asarray(
-                np.maximum(1, frame_lengths // cfg.model.decoder.reduction_factor)
-            ),
-        )
+        diag = out["diagonality"]
         return {
             "wav": np.asarray(wav),
             "mel": np.asarray(out["mel"]),
