@@ -27,6 +27,10 @@ import time
 import numpy as np
 
 
+def log(*a):
+    print("[bench]", *a, file=sys.stderr, flush=True)
+
+
 def build(cfg_overrides=None):
     import jax
 
@@ -37,6 +41,12 @@ def build(cfg_overrides=None):
         # flagship dims (full-size GST-Tacotron), bounded decode length
         "model.decoder.max_decode_steps": 200,
         "audio.griffin_lim_iters": 30,
+        # Throughput is measured at FULL decode length: untrained stop heads
+        # fire immediately (sigmoid(0)~0.5), which would shrink the audio
+        # numerator while the fixed-length scan still pays for every step.
+        # A trained model decodes near max length; threshold 1.0 makes the
+        # measurement reflect that.
+        "model.decoder.stop_threshold": 1.0,
     }
     if cfg_overrides:
         ov.update(cfg_overrides)
@@ -52,13 +62,28 @@ def build(cfg_overrides=None):
         "linear": rng.random((batch, t_mel, cfg.model.num_freq), np.float32),
         "speaker_ids": np.zeros((batch,), np.int32),
     }
-    import jax as _jax
-
-    model, state = init_state(cfg, _jax.random.PRNGKey(0), sample)
+    # Init on the host CPU backend: param init runs a full teacher-forced
+    # forward, which would be one huge throwaway compile on the TPU (and the
+    # axon remote-compile path makes that minutes); transfer params after.
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    t0 = time.perf_counter()
+    if cpu is not None:
+        with jax.default_device(cpu):
+            model, state = init_state(cfg, jax.random.PRNGKey(0), sample)
+        device = jax.devices()[0]
+        state = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, device), state
+        )
+    else:
+        model, state = init_state(cfg, jax.random.PRNGKey(0), sample)
+    log(f"init done in {time.perf_counter() - t0:.1f}s")
     return cfg, model, state, sample
 
 
-def bench_fused(cfg, model, state, sample, iterations=3):
+def bench_fused(cfg, model, state, sample, iterations=10):
     """Our path: one jitted program for decode + postnet + Griffin-Lim."""
     import jax
     import jax.numpy as jnp
@@ -76,7 +101,10 @@ def bench_fused(cfg, model, state, sample, iterations=3):
             method=model.infer, rngs={"dropout": rng},
         )
         wav = dsp.inv_linear_spectrogram(out["linear"])
-        return wav, out["frame_lengths"]
+        # tiny checksum output depending on the waveform: fetching it is the
+        # reliable end-of-execution barrier (8 bytes over the tunnel)
+        checksum = jnp.sum(wav[:, :: 997], axis=-1)
+        return wav, out["frame_lengths"], checksum
 
     args = (
         variables,
@@ -86,17 +114,23 @@ def bench_fused(cfg, model, state, sample, iterations=3):
         jnp.asarray(sample["mel_lengths"]),
         jax.random.PRNGKey(0),
     )
-    wav, fl = synth(*args)
-    jax.block_until_ready(wav)  # compile + warmup
     t0 = time.perf_counter()
-    for _ in range(iterations):
-        wav, fl = synth(*args)
-        jax.block_until_ready(wav)
+    wav, fl, csum = synth(*args)
+    _ = np.asarray(csum)  # compile + warmup
+    log(f"fused synth compiled in {time.perf_counter() - t0:.1f}s")
+    # Each timed iteration gets a fresh PRNG key (and therefore fresh prenet
+    # dropout): identical (program, inputs) pairs can be served from caches
+    # in the remote-execution path, which would fake the timing.
+    # block_until_ready on the tunneled runtime has been observed to return
+    # before execution completes; a host fetch of output data is the reliable
+    # barrier. Queue all iterations, then fetch bytes from the LAST result.
+    t0 = time.perf_counter()
+    for i in range(iterations):
+        wav, fl, csum = synth(*args[:-1], jax.random.PRNGKey(100 + i))
+    _ = np.asarray(csum)  # sync: forces all queued work to finish
     dt = (time.perf_counter() - t0) / iterations
+    log(f"fused synth steady-state: {dt*1e3:.1f} ms/batch (fetch-synced)")
 
-    # all utterances decode to max length with random weights; count produced
-    # frames (the reference would produce the same frames for the same stop
-    # behavior, so the comparison is apples-to-apples)
     frames = int(np.sum(np.asarray(fl)))
     audio_seconds = frames * cfg.audio.hop_length / cfg.audio.sample_rate
     decode_steps = frames // cfg.model.decoder.reduction_factor
@@ -160,9 +194,11 @@ def bench_reference_style(cfg, model, state, sample, max_steps=40):
 
     carry = init_carry(memory)
     # warmup/compile
+    t0 = time.perf_counter()
     carry2, _ = one_step(variables, carry, memory, keys, mask,
                          jax.random.PRNGKey(1))
     jax.block_until_ready(carry2["attn_rnn_h"])
+    log(f"per-step program compiled in {time.perf_counter() - t0:.1f}s")
 
     t0 = time.perf_counter()
     c = carry
@@ -213,8 +249,13 @@ def main():
         cfg, model, state, sample, max_steps=20 if args.quick else 40
     )
     frames = decode_steps * cfg.model.decoder.reduction_factor
-    # emulated total: per-step dispatch for every decode step + host GL per frame
-    ref_dt = per_step * decode_steps + gl_per_frame * frames
+    # The measured per-step cost on a TUNNELED device includes ~10-100ms of
+    # relay RTT the reference would not pay on local hardware. To keep
+    # vs_baseline conservative (favoring the baseline), cap the per-step
+    # dispatch at a 2ms local-eager-dispatch estimate; the raw measurement is
+    # in the details file.
+    per_step_used = min(per_step, 0.002)
+    ref_dt = per_step_used * decode_steps + gl_per_frame * frames
     ref_tput = audio_seconds / ref_dt / num_chips
 
     result = {
@@ -230,6 +271,7 @@ def main():
         "emulated_reference_wall_s": ref_dt,
         "emulated_reference_tput": ref_tput,
         "per_step_dispatch_s": per_step,
+        "per_step_dispatch_used_s": per_step_used,
         "gl_host_s_per_frame": gl_per_frame,
         "audio_seconds": audio_seconds,
         "num_chips": num_chips,
