@@ -63,8 +63,13 @@ class AudioConfig:
 
 @dataclass(frozen=True)
 class EncoderConfig:
-    """Taco1 CBHG encoder (SURVEY.md §2.1 "CBHG", "Tacotron-1 encoder")."""
+    """Text encoder (SURVEY.md §2.1 "CBHG", "Tacotron-1 encoder").
 
+    kind selects the reference's Taco_Version switch: "taco1" (prenet+CBHG)
+    or "taco2" (conv stack + BiGRU).
+    """
+
+    kind: str = "taco1"
     embedding_dim: int = 256
     prenet_dims: Tuple[int, ...] = (256, 128)
     prenet_dropout: float = 0.5
@@ -217,6 +222,9 @@ class TrainConfig:
     keep_checkpoints: int = 5
     checkpoint_dir: str = "checkpoints"
     seed: int = 0
+    # NaN-checking debug mode (SURVEY.md §5 "Race detection / sanitizers"):
+    # enables jax_debug_nans so the first non-finite value raises at the op.
+    debug_nans: bool = False
     eval_sentences: Tuple[str, ...] = (
         "Scientists at the CERN laboratory say they have discovered a new particle.",
         "The quick brown fox jumps over the lazy dog.",

@@ -45,7 +45,8 @@ class GSTTacotron(nn.Module):
 
     def setup(self):
         c = self.cfg
-        self.encoder = Taco1Encoder(c.encoder, self.num_symbols, dtype=self.dtype)
+        enc_cls = {"taco1": Taco1Encoder, "taco2": Taco2Encoder}[c.encoder.kind]
+        self.encoder = enc_cls(c.encoder, self.num_symbols, dtype=self.dtype)
         if c.gst.enabled:
             self.gst = GST(c.gst, c.num_mels, dtype=self.dtype)
         if c.num_speakers > 1:

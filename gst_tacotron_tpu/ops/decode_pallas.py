@@ -1,0 +1,338 @@
+"""Pallas TPU kernel: the WHOLE autoregressive decode loop in one kernel.
+
+Named speed-of-light target (BASELINE.json:5 "autoregressive decode-step
+kernels at speed-of-light per chip"; SURVEY.md §2.2 "fused decode-step kernel
+inside lax.scan").
+
+Why a mega-kernel instead of a per-step kernel: the decode step is ~10 small
+matmuls over ~7 MB of weights. Under `lax.scan`, XLA re-reads every weight
+from HBM each step, so the per-step floor is weight-bytes / HBM-bandwidth
+(~9 us) no matter how small the batch. This kernel instead runs the FULL
+fixed-length decode as a 1-D "arbitrary" grid (one grid step = one decoder
+step) with every weight block mapped at a constant index — Pallas keeps them
+resident in VMEM across grid steps, so steady-state per-step cost is pure
+compute + the tiny per-step output write. Recurrent state (attention RNN,
+two decoder GRUs, context, last frame) lives in VMEM scratch, which also
+persists across grid steps.
+
+Scope (flagship gst_lj path): Bahdanau attention, fixed-length decode,
+reduction factor r, optional always-on prenet dropout via the on-core PRNG
+(a different stream than jax.random — statistically equivalent, bit-different;
+parity tests run with dropout off). Location-sensitive attention stays on the
+jnp scan path for now.
+
+Shapes (padded by the wrapper):
+  B -> multiple of 8 (sublanes), T_memory -> multiple of 128 (lanes),
+  frame/stop outputs packed into one (S, B, 256) buffer
+  [0:r*num_mels] = frames, [r*num_mels : r*num_mels + r] = stop logits.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import AttentionConfig, DecoderConfig
+
+LANE = 128
+SUB = 8
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _gru(x, h, wi, bi, wh, bh):
+    """Keras-v2 (reset_after) GRU step; returns new h. All f32 in VMEM."""
+    gx = jnp.dot(x, wi, preferred_element_type=jnp.float32) + bi
+    gh = jnp.dot(h, wh, preferred_element_type=jnp.float32) + bh
+    hdim = h.shape[-1]
+    xz, xr, xn = gx[:, :hdim], gx[:, hdim:2 * hdim], gx[:, 2 * hdim:]
+    hz, hr, hn = gh[:, :hdim], gh[:, hdim:2 * hdim], gh[:, 2 * hdim:]
+    z = jax.nn.sigmoid(xz + hz)
+    r = jax.nn.sigmoid(xr + hr)
+    n = jnp.tanh(xn + r * hn)
+    return z * h + (1.0 - z) * n
+
+
+def _dropout(x, rate):
+    """Inverted dropout from the on-core PRNG (seeded per step outside)."""
+    bits = pltpu.prng_random_bits(x.shape)  # uint32
+    threshold = np.uint32(int(rate * (2 ** 32 - 1)))
+    keep = bits >= threshold
+    return jnp.where(keep, x / (1.0 - rate), 0.0)
+
+
+def _decode_kernel(
+    # scalar prefetch
+    seed_ref,
+    # inputs (constant index maps -> VMEM-resident across the grid)
+    memory_ref, keys_ref, mask_ref,
+    pw1_ref, pb1_ref, pw2_ref, pb2_ref,            # prenet
+    awi_ref, abi_ref, awh_ref, abh_ref,            # attention GRU
+    qproj_ref, vvec_ref,                           # attention score
+    dwi_ref, dbi_ref,                              # decoder input proj
+    g1wi_ref, g1bi_ref, g1wh_ref, g1bh_ref,        # decoder GRU 1
+    g2wi_ref, g2bi_ref, g2wh_ref, g2bh_ref,        # decoder GRU 2
+    fw_ref, fb_ref,                                # fused frame+stop proj
+    # outputs
+    out_ref, align_ref,
+    # scratch (persists across grid steps)
+    h_attn, h_d1, h_d2, context, last_frame,
+    *, num_mels: int, r: int, prenet_dims: Tuple[int, int],
+    dropout_rate: float, use_dropout: bool,
+):
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        h_attn[...] = jnp.zeros_like(h_attn)
+        h_d1[...] = jnp.zeros_like(h_d1)
+        h_d2[...] = jnp.zeros_like(h_d2)
+        context[...] = jnp.zeros_like(context)
+        last_frame[...] = jnp.zeros_like(last_frame)
+
+    if use_dropout:
+        pltpu.prng_seed(seed_ref[0] + step)
+
+    # prenet (last_frame cols >= num_mels are zero; pw1 rows >= num_mels zero)
+    x = last_frame[...]
+    h1 = jnp.maximum(
+        jnp.dot(x, pw1_ref[...], preferred_element_type=jnp.float32)
+        + pb1_ref[...], 0.0)
+    if use_dropout:
+        h1 = _dropout(h1, dropout_rate)
+    h2 = jnp.maximum(
+        jnp.dot(h1, pw2_ref[...], preferred_element_type=jnp.float32)
+        + pb2_ref[...], 0.0)
+    if use_dropout:
+        h2 = _dropout(h2, dropout_rate)
+
+    # attention GRU over [prenet_out ; context]
+    attn_in = jnp.concatenate([h2, context[...]], axis=-1)
+    h_attn_new = _gru(attn_in, h_attn[...], awi_ref[...], abi_ref[...],
+                      awh_ref[...], abh_ref[...])
+    h_attn[...] = h_attn_new
+
+    # Bahdanau scores: v . tanh(keys + W_q q)
+    q = jnp.dot(h_attn_new, qproj_ref[...], preferred_element_type=jnp.float32)
+    tanh_arg = jnp.tanh(keys_ref[...] + q[:, None, :])       # (B, T, A)
+    scores = jnp.sum(tanh_arg * vvec_ref[...][None, None, :], axis=-1)  # (B, T)
+    scores = jnp.where(mask_ref[...] > 0.5, scores, -1e9)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m) * (mask_ref[...] > 0.5)
+    align = e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-9)  # (B, T)
+
+    # context: batched (1, T) @ (T, M)
+    ctx = jax.lax.dot_general(
+        align, memory_ref[...],
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (B, M)
+    context[...] = ctx
+
+    # decoder input projection + 2 residual GRUs
+    dec_in = jnp.concatenate([h_attn_new, ctx], axis=-1)
+    h = jnp.dot(dec_in, dwi_ref[...], preferred_element_type=jnp.float32) \
+        + dbi_ref[...]
+    h1d = _gru(h, h_d1[...], g1wi_ref[...], g1bi_ref[...], g1wh_ref[...],
+               g1bh_ref[...])
+    h_d1[...] = h1d
+    h = h + h1d
+    h2d = _gru(h, h_d2[...], g2wi_ref[...], g2bi_ref[...], g2wh_ref[...],
+               g2bh_ref[...])
+    h_d2[...] = h2d
+    h = h + h2d
+
+    # fused frame+stop projection: (B, dec+M) @ (dec+M, 256)
+    proj_in = jnp.concatenate([h, ctx], axis=-1)
+    out = jnp.dot(proj_in, fw_ref[...], preferred_element_type=jnp.float32) \
+        + fb_ref[...]                                         # (B, 256)
+
+    out_ref[0] = out
+    align_ref[0] = align
+
+    # carry the last emitted frame into the next step's prenet input
+    nf = last_frame.shape[-1]
+    frame_start = (r - 1) * num_mels
+    lf = out[:, frame_start : frame_start + num_mels]
+    pad = jnp.zeros((lf.shape[0], nf - num_mels), jnp.float32)
+    last_frame[...] = jnp.concatenate([lf, pad], axis=-1)
+
+
+def pack_decoder_weights(cell_params: Dict[str, Any], num_mels: int, r: int,
+                         prenet_dims: Tuple[int, int]):
+    """Pad/pack the flax DecoderCell param tree into kernel operand layout.
+
+    Host-side, once per checkpoint: returns a dict of numpy arrays that
+    `decode_scan_pallas` accepts (it is itself fully jittable)."""
+    p = cell_params
+    nf_pad = LANE  # padded last_frame/prenet input width
+
+    pw1 = np.zeros((nf_pad, prenet_dims[0]), np.float32)
+    pw1[:num_mels] = np.asarray(p["prenet"]["dense_0"]["kernel"])
+    pb1 = np.asarray(p["prenet"]["dense_0"]["bias"])
+    pw2 = np.asarray(p["prenet"]["dense_1"]["kernel"])
+    pb2 = np.asarray(p["prenet"]["dense_1"]["bias"])
+
+    awi = np.asarray(p["attention_rnn"]["kernel"])
+    abi = np.asarray(p["attention_rnn"]["bias"])
+    awh = np.asarray(p["attention_rnn"]["recurrent_kernel"])
+    abh = np.asarray(p["attention_rnn"]["recurrent_bias"])
+
+    qproj = np.asarray(p["attention"]["query_proj"]["kernel"])
+    vvec = np.asarray(p["attention"]["score_v"]["kernel"])[:, 0]
+
+    dwi = np.asarray(p["decoder_input_proj"]["kernel"])
+    dbi = np.asarray(p["decoder_input_proj"]["bias"])
+
+    g1 = p["decoder_rnn_0"]
+    g2 = p["decoder_rnn_1"]
+
+    frame_k = np.asarray(p["frame_proj"]["kernel"])    # (D, r*M)
+    frame_b = np.asarray(p["frame_proj"]["bias"])
+    stop_k = np.asarray(p["stop_proj"]["kernel"])      # (D, r)
+    stop_b = np.asarray(p["stop_proj"]["bias"])
+    dproj = frame_k.shape[0]
+    out_dim = 2 * LANE  # 256 packed output lanes
+    assert r * num_mels + r <= out_dim, "packed output exceeds 256 lanes"
+    fw = np.zeros((dproj, out_dim), np.float32)
+    fb = np.zeros((out_dim,), np.float32)
+    fw[:, : r * num_mels] = frame_k
+    fb[: r * num_mels] = frame_b
+    fw[:, r * num_mels : r * num_mels + r] = stop_k
+    fb[r * num_mels : r * num_mels + r] = stop_b
+
+    return dict(
+        pw1=pw1, pb1=pb1, pw2=pw2, pb2=pb2,
+        awi=awi, abi=abi, awh=awh, abh=abh,
+        qproj=qproj, vvec=vvec, dwi=dwi, dbi=dbi,
+        g1wi=np.asarray(g1["kernel"]), g1bi=np.asarray(g1["bias"]),
+        g1wh=np.asarray(g1["recurrent_kernel"]),
+        g1bh=np.asarray(g1["recurrent_bias"]),
+        g2wi=np.asarray(g2["kernel"]), g2bi=np.asarray(g2["bias"]),
+        g2wh=np.asarray(g2["recurrent_kernel"]),
+        g2bh=np.asarray(g2["recurrent_bias"]),
+        fw=fw, fb=fb,
+    )
+
+
+def decode_scan_pallas(
+    packed_weights: Dict[str, np.ndarray],
+    memory: jnp.ndarray,            # (B, T, M)
+    keys: jnp.ndarray,              # (B, T, A)
+    memory_mask: jnp.ndarray,       # (B, T) bool/int
+    *,
+    dec_cfg: DecoderConfig,
+    attn_cfg: AttentionConfig,
+    num_mels: int,
+    steps: int,
+    seed: int = 0,
+    use_dropout: bool = False,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused fixed-length decode. Returns (mel (B, S*r, M_mel),
+    stop_logits (B, S*r), alignments (B, S, T))."""
+    assert attn_cfg.kind == "bahdanau", "kernel covers the Bahdanau path"
+    r = dec_cfg.reduction_factor
+    b, t, m_dim = memory.shape
+    a_dim = keys.shape[-1]
+    b_pad = _round_up(max(b, SUB), SUB)
+    t_pad = _round_up(max(t, LANE), LANE)
+
+    if (b_pad, t_pad) != (b, t):
+        memory = jnp.pad(memory, ((0, b_pad - b), (0, t_pad - t), (0, 0)))
+        keys = jnp.pad(keys, ((0, b_pad - b), (0, t_pad - t), (0, 0)))
+        memory_mask = jnp.pad(
+            memory_mask.astype(jnp.float32),
+            ((0, b_pad - b), (0, t_pad - t)),
+        )
+    mask_f = memory_mask.astype(jnp.float32)
+    # fully-padded batch rows would softmax over all -1e9; keep row 0 valid
+    mask_f = mask_f.at[:, 0].set(jnp.maximum(mask_f[:, 0], 1e-3))
+
+    weights = packed_weights
+
+    out_dim = 2 * LANE
+    kernel = functools.partial(
+        _decode_kernel,
+        num_mels=num_mels, r=r, prenet_dims=tuple(dec_cfg.prenet_dims),
+        dropout_rate=dec_cfg.prenet_dropout, use_dropout=use_dropout,
+    )
+
+    # index maps take (grid_idx, *scalar_prefetch_refs) under
+    # PrefetchScalarGridSpec — hence the *_ catch-all
+    const = lambda *shape: pl.BlockSpec(shape, lambda i, *_: (0,) * len(shape),
+                                        memory_space=pltpu.VMEM)
+
+    w = weights
+    in_specs = [
+        const(b_pad, t_pad, m_dim),        # memory
+        const(b_pad, t_pad, a_dim),        # keys
+        const(b_pad, t_pad),               # mask
+        const(*w["pw1"].shape), const(*w["pb1"].shape),
+        const(*w["pw2"].shape), const(*w["pb2"].shape),
+        const(*w["awi"].shape), const(*w["abi"].shape),
+        const(*w["awh"].shape), const(*w["abh"].shape),
+        const(*w["qproj"].shape), const(*w["vvec"].shape),
+        const(*w["dwi"].shape), const(*w["dbi"].shape),
+        const(*w["g1wi"].shape), const(*w["g1bi"].shape),
+        const(*w["g1wh"].shape), const(*w["g1bh"].shape),
+        const(*w["g2wi"].shape), const(*w["g2bi"].shape),
+        const(*w["g2wh"].shape), const(*w["g2bh"].shape),
+        const(*w["fw"].shape), const(*w["fb"].shape),
+    ]
+    operands = [
+        memory, keys, mask_f,
+        w["pw1"], w["pb1"], w["pw2"], w["pb2"],
+        w["awi"], w["abi"], w["awh"], w["abh"],
+        w["qproj"], w["vvec"], w["dwi"], w["dbi"],
+        w["g1wi"], w["g1bi"], w["g1wh"], w["g1bh"],
+        w["g2wi"], w["g2bi"], w["g2wh"], w["g2bh"],
+        w["fw"], w["fb"],
+    ]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(steps,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, b_pad, out_dim), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b_pad, t_pad), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b_pad, dec_cfg.attention_rnn_dim), jnp.float32),
+            pltpu.VMEM((b_pad, dec_cfg.decoder_rnn_dim), jnp.float32),
+            pltpu.VMEM((b_pad, dec_cfg.decoder_rnn_dim), jnp.float32),
+            pltpu.VMEM((b_pad, m_dim), jnp.float32),
+            pltpu.VMEM((b_pad, LANE), jnp.float32),
+        ],
+    )
+
+    out, align = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((steps, b_pad, out_dim), jnp.float32),
+            jax.ShapeDtypeStruct((steps, b_pad, t_pad), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(jnp.asarray([seed], jnp.int32), *operands)
+
+    frames = out[:, :b, : r * num_mels]                      # (S, B, r*M)
+    stops = out[:, :b, r * num_mels : r * num_mels + r]      # (S, B, r)
+    mel = jnp.moveaxis(frames, 0, 1).reshape(b, steps * r, num_mels)
+    stop_logits = jnp.moveaxis(stops, 0, 1).reshape(b, steps * r)
+    alignments = jnp.moveaxis(align[:, :b, :t], 0, 1)        # (B, S, T)
+    return mel, stop_logits, alignments

@@ -33,7 +33,13 @@ _RULES: List[Tuple[str, Dict[int, P]]] = [
     (r".*decoder/cell/decoder_rnn_\d+/kernel$", {2: P(None, MODEL_AXIS)}),
     # feature-dim sharding (vocab sizes are small and rarely divisible)
     (r".*encoder/embedding/embedding$", {2: P(None, MODEL_AXIS)}),
-    (r".*wavernn.*/(gru|fc1|fc2)/kernel$", {2: P(None, MODEL_AXIS)}),
+    # WaveRNN vocoder: matches both an embedded `wavernn/...` subtree and the
+    # standalone VocoderTrainer tree (anchored at root so the GST reference
+    # encoder's nested `.../gru/...` params never match)
+    (r".*wavernn.*/(gru|fc1|fc2)/(kernel|recurrent_kernel)$",
+     {2: P(None, MODEL_AXIS)}),
+    (r"^(gru|fc1|fc2|cond_proj)/(kernel|recurrent_kernel)$",
+     {2: P(None, MODEL_AXIS)}),
 ]
 
 

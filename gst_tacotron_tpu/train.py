@@ -210,6 +210,8 @@ class Trainer:
         self.work_dir = work_dir
         self.mesh = mesh
         os.makedirs(work_dir, exist_ok=True)
+        if cfg.train.debug_nans:
+            jax.config.update("jax_debug_nans", True)
 
         self.dataset = PatternDataset(pattern_dir, cfg.data.metadata_file)
         num_shards = jax.process_count()
@@ -280,6 +282,29 @@ class Trainer:
         return self.state
 
 
+def default_eval_hook(trainer: "Trainer", step: int) -> None:
+    """Periodic qualitative eval (reference Model.py's fixed-sentence
+    synthesis with alignment/audio dumps; SURVEY.md §3.2 'every K')."""
+    from .synthesize import Synthesizer
+
+    cfg = trainer.cfg
+    variables = {"params": trainer.state.params,
+                 "batch_stats": trainer.state.batch_stats}
+    synth = Synthesizer(cfg, trainer.model, variables)
+    try:
+        out = synth(list(cfg.train.eval_sentences), seed=step)
+    except Exception as e:  # eval must never kill training
+        trainer.logger.write(step, {"eval_error": 1.0}, prefix="eval")
+        print(f"[eval] synthesis failed at step {step}: {e}")
+        return
+    art_dir = os.path.join(trainer.work_dir, "eval", f"step_{step:08d}")
+    synth.save_outputs(out, art_dir)
+    trainer.logger.write(step, {
+        "diagonality": float(np.mean(out["diagonality"])),
+        "mean_frames": float(np.mean(out["frame_lengths"])),
+    }, prefix="eval")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="Train GST-Tacotron (TPU-native)")
     p.add_argument("--preset", default="taco1_lj")
@@ -301,7 +326,7 @@ def main(argv=None):
 
     trainer = Trainer(cfg, args.patterns, args.workdir, mesh)
     trainer.restore_if_available()
-    trainer.train(args.steps)
+    trainer.train(args.steps, eval_fn=default_eval_hook)
 
 
 if __name__ == "__main__":
