@@ -94,7 +94,7 @@ def bench_fused(cfg, model, state, sample, iterations=10):
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
     @jax.jit
-    def synth(variables, tokens, token_lengths, ref_mel, ref_lengths, rng):
+    def synth(acc, variables, tokens, token_lengths, ref_mel, ref_lengths, rng):
         out = model.apply(
             variables, tokens, token_lengths,
             ref_mel=ref_mel, ref_mel_lengths=ref_lengths,
@@ -102,8 +102,10 @@ def bench_fused(cfg, model, state, sample, iterations=10):
         )
         wav = dsp.inv_linear_spectrogram(out["linear"])
         # tiny checksum output depending on the waveform: fetching it is the
-        # reliable end-of-execution barrier (8 bytes over the tunnel)
-        checksum = jnp.sum(wav[:, :: 997], axis=-1)
+        # reliable end-of-execution barrier, and CHAINING it through the next
+        # call defeats the runtime's lazy execution (unfetched results may
+        # simply never run — measured) and result caching
+        checksum = jnp.sum(wav[:, :: 997]) + acc * 1e-9
         return wav, out["frame_lengths"], checksum
 
     args = (
@@ -115,7 +117,7 @@ def bench_fused(cfg, model, state, sample, iterations=10):
         jax.random.PRNGKey(0),
     )
     t0 = time.perf_counter()
-    wav, fl, csum = synth(*args)
+    wav, fl, csum = synth(jnp.float32(0.0), *args)
     _ = np.asarray(csum)  # compile + warmup
     log(f"fused synth compiled in {time.perf_counter() - t0:.1f}s")
     # Each timed iteration gets a fresh PRNG key (and therefore fresh prenet
@@ -126,10 +128,10 @@ def bench_fused(cfg, model, state, sample, iterations=10):
     # barrier. Queue all iterations, then fetch bytes from the LAST result.
     t0 = time.perf_counter()
     for i in range(iterations):
-        wav, fl, csum = synth(*args[:-1], jax.random.PRNGKey(100 + i))
-    _ = np.asarray(csum)  # sync: forces all queued work to finish
+        wav, fl, csum = synth(csum, *args[:-1], jax.random.PRNGKey(100 + i))
+    _ = np.asarray(csum)  # sync: the chain forces every execution
     dt = (time.perf_counter() - t0) / iterations
-    log(f"fused synth steady-state: {dt*1e3:.1f} ms/batch (fetch-synced)")
+    log(f"fused synth steady-state: {dt*1e3:.1f} ms/batch (chain-synced)")
 
     frames = int(np.sum(np.asarray(fl)))
     audio_seconds = frames * cfg.audio.hop_length / cfg.audio.sample_rate

@@ -86,26 +86,30 @@ def main():
         sample["token_lengths"])[:, None]
 
     def timed(fn, args2, iters=20, name=""):
-        csum = fn(*args2)
-        _ = np.asarray(csum)  # compile+run
+        """Chained timing: each call consumes the previous checksum, so the
+        final fetch forces EVERY execution (the runtime is lazy — unfetched
+        results may never execute)."""
+        acc = fn(jnp.float32(0.0), *args2)
+        _ = np.asarray(acc)  # compile+run
         t0 = time.perf_counter()
         for i in range(iters):
-            csum = fn(*args2)
-        _ = np.asarray(csum)
+            acc = fn(acc, *args2)
+        _ = np.asarray(acc)
         dt = (time.perf_counter() - t0) / iters
         log(f"{name}: {dt*1e3:.3f} ms")
         return dt
 
     # ---- XLA scan decoder --------------------------------------------------
-    dec = model.decoder
+
 
     @jax.jit
-    def scan_decode(variables, memory, lengths, rng_key):
+    def scan_decode(acc, variables, memory, lengths, rng_key):
         def fn(mdl):
             mel, stops, aligns, fl = mdl.decoder.decode(
                 memory, lengths, deterministic_prenet=True)
             return jnp.sum(mel[:, ::7, 0])
-        return model.apply(variables, method=fn, rngs={"dropout": rng_key})
+        return acc * 1e-9 + model.apply(variables, method=fn,
+                                        rngs={"dropout": rng_key})
 
     dt_scan = timed(
         scan_decode,
@@ -122,13 +126,13 @@ def main():
         tuple(cfg.model.decoder.prenet_dims))
 
     @jax.jit
-    def pallas_decode(memory, keys, mask):
+    def pallas_decode(acc, memory, keys, mask):
         mel, stops, aligns = decode_scan_pallas(
             packed, memory, keys, mask,
             dec_cfg=cfg.model.decoder, attn_cfg=cfg.model.attention,
             num_mels=cfg.model.num_mels, steps=args.steps,
             use_dropout=False)
-        return jnp.sum(mel[:, ::7, 0])
+        return acc * 1e-9 + jnp.sum(mel[:, ::7, 0])
 
     dt_pal = timed(pallas_decode, (memory, keys, mask), iters=10,
                    name="pallas fused decode")
@@ -161,9 +165,9 @@ def main():
                          jnp.float32)
 
     @jax.jit
-    def stft(fr):
+    def stft(acc, fr):
         mel, lin = stft_features_pallas(fr, cfg.audio)
-        return jnp.sum(mel[:, 0])
+        return acc * 1e-9 + jnp.sum(mel[:, 0])
 
     dt_stft = timed(stft, (frames,), iters=20, name="pallas stft (1024 fr)")
     n_freq_pad = 1152
@@ -180,8 +184,8 @@ def main():
     rv = jax.device_put(rv)
 
     @jax.jit
-    def refenc_fwd(rv, mel_in):
-        return jnp.sum(refenc.apply(rv, mel_in, train=False))
+    def refenc_fwd(acc, rv, mel_in):
+        return acc * 1e-9 + jnp.sum(refenc.apply(rv, mel_in, train=False))
 
     dt_ref = timed(refenc_fwd, (rv, mel_in), iters=20,
                    name="ref-encoder conv+gru (8x256)")
