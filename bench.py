@@ -139,6 +139,80 @@ def bench_fused(cfg, model, state, sample, iterations=10):
     return audio_seconds, dt, decode_steps
 
 
+def bench_fused_pallas(cfg, model, state, sample, iterations=10):
+    """Fast path: encode program + fused whole-decode Pallas kernel +
+    postnet/Griffin-Lim program (the Synthesizer use_pallas_decoder=True
+    composition). Chained across iterations via a ref_mel perturbation."""
+    import jax
+    import jax.numpy as jnp
+
+    from gst_tacotron_tpu.dsp import JaxDSP
+    from gst_tacotron_tpu.ops.decode_pallas import (
+        decode_scan_pallas, pack_decoder_weights,
+    )
+
+    dsp = JaxDSP(cfg.audio)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    steps = cfg.model.decoder.max_decode_steps
+
+    @jax.jit
+    def encode(variables, tokens, token_lengths, ref_mel, ref_lengths):
+        def fn(mdl):
+            memory, _ = mdl._build_memory(
+                tokens, token_lengths, ref_mel, ref_lengths, None, None, False)
+            keys = mdl.decoder.cell.precompute_keys(memory)
+            return memory, keys
+        return model.apply(variables, method=fn,
+                           rngs={"dropout": jax.random.PRNGKey(0)})
+
+    packed = jax.device_put(pack_decoder_weights(
+        jax.device_get(state.params)["decoder"]["cell"],
+        cfg.model.num_mels, cfg.model.decoder.reduction_factor,
+        tuple(cfg.model.decoder.prenet_dims)))
+
+    @jax.jit
+    def decode(packed, memory, keys, token_lengths):
+        mask = jnp.arange(memory.shape[1])[None, :] < token_lengths[:, None]
+        return decode_scan_pallas(
+            packed, memory, keys, mask,
+            dec_cfg=cfg.model.decoder, attn_cfg=cfg.model.attention,
+            num_mels=cfg.model.num_mels, steps=steps, use_dropout=True)
+
+    @jax.jit
+    def finish(variables, mel):
+        linear = model.apply(
+            variables, mel, None, train=False,
+            method=lambda mdl, m, fl, train: mdl.postnet(m, fl, train=train))
+        wav = dsp.inv_linear_spectrogram(linear)
+        return jnp.sum(wav[:, ::997])
+
+    tokens = jnp.asarray(sample["tokens"])
+    token_lengths = jnp.asarray(sample["token_lengths"])
+    ref_mel = jnp.asarray(sample["mel"])
+    ref_lengths = jnp.asarray(sample["mel_lengths"])
+
+    def pipeline(acc):
+        memory, keys = encode(variables, tokens, token_lengths,
+                              ref_mel + acc * 1e-9, ref_lengths)
+        mel, stops, aligns = decode(packed, memory, keys, token_lengths)
+        return finish(variables, mel)
+
+    acc = pipeline(jnp.float32(0.0))
+    _ = np.asarray(acc)  # compile all three programs
+    log("pallas pipeline compiled")
+    t0 = time.perf_counter()
+    for _ in range(iterations):
+        acc = pipeline(acc)
+    _ = np.asarray(acc)
+    dt = (time.perf_counter() - t0) / iterations
+    log(f"pallas pipeline steady-state: {dt*1e3:.1f} ms/batch")
+
+    frames = tokens.shape[0] * steps * cfg.model.decoder.reduction_factor
+    audio_seconds = frames * cfg.audio.hop_length / cfg.audio.sample_rate
+    decode_steps = frames // cfg.model.decoder.reduction_factor
+    return audio_seconds, dt, decode_steps
+
+
 def bench_reference_style(cfg, model, state, sample, max_steps=40):
     """Reference-architecture emulation: per-step host dispatch + host GL.
 
@@ -247,6 +321,18 @@ def main():
     audio_seconds, fused_dt, decode_steps = bench_fused(cfg, model, state, sample)
     fused_tput = audio_seconds / fused_dt / num_chips
 
+    pallas_tput = None
+    if cfg.model.attention.kind == "bahdanau":
+        try:
+            pa_audio, pa_dt, pa_steps = bench_fused_pallas(
+                cfg, model, state, sample)
+            pallas_tput = pa_audio / pa_dt / num_chips
+            if pallas_tput > fused_tput:
+                audio_seconds, fused_dt, decode_steps = pa_audio, pa_dt, pa_steps
+                fused_tput = pallas_tput
+        except Exception as e:
+            log(f"pallas pipeline failed, using XLA path: {e}")
+
     per_step, gl_per_frame = bench_reference_style(
         cfg, model, state, sample, max_steps=20 if args.quick else 40
     )
@@ -270,6 +356,7 @@ def main():
         **result,
         "decode_steps_per_sec": decode_steps / fused_dt,
         "fused_wall_s": fused_dt,
+        "pallas_pipeline_tput": pallas_tput,
         "emulated_reference_wall_s": ref_dt,
         "emulated_reference_tput": ref_tput,
         "per_step_dispatch_s": per_step,

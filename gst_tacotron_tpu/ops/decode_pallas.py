@@ -129,12 +129,11 @@ def _decode_kernel(
     e = jnp.exp(scores - m) * (mask_ref[...] > 0.5)
     align = e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-9)  # (B, T)
 
-    # context: batched (1, T) @ (T, M)
-    ctx = jax.lax.dot_general(
-        align, memory_ref[...],
-        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # (B, M)
+    # context: sum_t align[b,t] * memory[b,t,:]. NOTE: Mosaic cannot lower a
+    # batched dot_general with a rank-2 lhs (parse error on
+    # lhs_non_contracting_dims=[]), so use the multiply-reduce form — (B,T,M)
+    # elementwise + reduction over T on the VPU, tiny at these shapes.
+    ctx = jnp.sum(align[:, :, None] * memory_ref[...], axis=1)  # (B, M)
     context[...] = ctx
 
     # decoder input projection + 2 residual GRUs

@@ -125,8 +125,10 @@ def main():
         cfg.model.num_mels, cfg.model.decoder.reduction_factor,
         tuple(cfg.model.decoder.prenet_dims))
 
+    packed_dev = jax.device_put(packed)
+
     @jax.jit
-    def pallas_decode(acc, memory, keys, mask):
+    def pallas_decode(acc, packed, memory, keys, mask):
         mel, stops, aligns = decode_scan_pallas(
             packed, memory, keys, mask,
             dec_cfg=cfg.model.decoder, attn_cfg=cfg.model.attention,
@@ -134,7 +136,7 @@ def main():
             use_dropout=False)
         return acc * 1e-9 + jnp.sum(mel[:, ::7, 0])
 
-    dt_pal = timed(pallas_decode, (memory, keys, mask), iters=10,
+    dt_pal = timed(pallas_decode, (packed_dev, memory, keys, mask), iters=10,
                    name="pallas fused decode")
     report["pallas_decode_ms"] = dt_pal * 1e3
     report["pallas_us_per_step"] = dt_pal / args.steps * 1e6
@@ -142,7 +144,7 @@ def main():
 
     # parity on TPU
     @jax.jit
-    def both(memory, keys, mask, variables, lengths, rng_key):
+    def both(packed, memory, keys, mask, variables, lengths, rng_key):
         def fn(mdl):
             mel, stops, aligns, fl = mdl.decoder.decode(
                 memory, lengths, deterministic_prenet=True)
@@ -155,7 +157,7 @@ def main():
         return jnp.max(jnp.abs(mel_ref - mel_k))
 
     err = float(np.asarray(both(
-        memory, keys, mask, variables,
+        packed_dev, memory, keys, mask, variables,
         jnp.asarray(sample["token_lengths"]), jax.random.PRNGKey(0))))
     report["decode_parity_max_err"] = err
     log("decode parity max err:", err)
