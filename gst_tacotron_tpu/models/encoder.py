@@ -55,5 +55,5 @@ class Taco2Encoder(nn.Module):
                      name="embedding")(tokens)
         x = Conv1dBNStack([c.embedding_dim] * 3, kernel_size=5, dtype=self.dtype,
                           name="convs")(x, lengths, train=train)
-        x, _ = BiGRU(c.cbhg_gru_dim, dtype=self.dtype, name="bigru")(x, lengths)
+        x, _ = BiGRU(c.cbhg_gru_dim, dtype=self.dtype, name="bigru")(x, lengths, train=train)
         return mask_sequence(x, lengths)

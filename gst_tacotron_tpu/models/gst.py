@@ -58,7 +58,7 @@ class ReferenceEncoder(nn.Module):
             gru_lengths = jnp.maximum(
                 1, (mel_lengths + stride_total - 1) // stride_total
             )
-        _, final = GRU(c.ref_gru_dim, dtype=self.dtype, name="gru")(x, gru_lengths)
+        _, final = GRU(c.ref_gru_dim, dtype=self.dtype, name="gru")(x, gru_lengths, train=train)
         return final  # (B, ref_gru_dim)
 
 

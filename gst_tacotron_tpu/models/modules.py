@@ -145,7 +145,7 @@ class CBHG(nn.Module):
         from .rnn import BiGRU
 
         y = mask_sequence(y, lengths)
-        out, _ = BiGRU(self.gru_dim, dtype=self.dtype, name="bigru")(y, lengths)
+        out, _ = BiGRU(self.gru_dim, dtype=self.dtype, name="bigru")(y, lengths, train=train)
         return out
 
 

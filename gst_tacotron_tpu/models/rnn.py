@@ -64,62 +64,97 @@ class GRUCell(nn.Module):
         return jnp.zeros((batch, self.features), self.dtype)
 
 
-def _masked_scan_gru(cell: GRUCell, xs: jnp.ndarray, mask: Optional[jnp.ndarray],
-                     h0: Optional[jnp.ndarray]):
-    """Scan `cell` over time axis 1 of xs (B, T, D) with optional (B, T) mask.
-
-    At masked (padded) steps the carry is held constant, so the final state is
-    the state at each sequence's true last step.
-    """
-    batch = xs.shape[0]
-    if h0 is None:
-        h0 = jnp.zeros((batch, cell.features), cell.dtype)
-
-    class _Step(nn.Module):
-        cell: GRUCell
-
-        @nn.compact
-        def __call__(self, h, inputs):
-            x, m = inputs
-            h_new, y = self.cell(h, x)
-            if m is not None:
-                keep = m[:, None].astype(h_new.dtype)
-                h_new = keep * h_new + (1.0 - keep) * h
-                y = h_new
-            return h_new, y
-
-    scan = nn.scan(
-        _Step,
-        variable_broadcast="params",
-        split_rngs={"params": False},
-        in_axes=1,
-        out_axes=1,
-    )
-    m = mask if mask is None else mask.astype(xs.dtype)
-    return scan(cell)(h0, (xs, m))
-
-
 class GRU(nn.Module):
-    """Unidirectional GRU over (B, T, D) -> ((B, T, H), final (B, H))."""
+    """Unidirectional GRU over (B, T, D) -> ((B, T, H), final (B, H)).
+
+    Owns its parameters directly (same Keras-v2 layout as GRUCell) so the
+    recurrence is a plain `lax.scan` over a closure — and, at inference on
+    TPU, the whole scan can route through the Pallas GRU kernel
+    (ops/gru_pallas.py) which keeps the weights VMEM-resident across steps
+    (the per-step kernel-launch overhead of scan on this runtime dominates
+    otherwise; see CLAUDE.md). The kernel path has no VJP — training always
+    uses the scan (pass train=True from callers).
+
+    Masked (padded) steps hold the carry constant, so the final state is the
+    state at each sequence's true last step.
+    """
 
     features: int
     reverse: bool = False
     reset_after: bool = True
     dtype: jnp.dtype = jnp.float32
+    allow_pallas: bool = True
 
     @nn.compact
     def __call__(self, xs: jnp.ndarray, lengths: Optional[jnp.ndarray] = None,
-                 initial_state: Optional[jnp.ndarray] = None):
-        time = xs.shape[1]
+                 initial_state: Optional[jnp.ndarray] = None,
+                 *, train: bool = False):
+        assert self.reset_after, "pallas/scan paths implement reset_after=True"
+        hdim = self.features
+        in_dim = xs.shape[-1]
+        wi = self.param("kernel", nn.initializers.glorot_uniform(),
+                        (in_dim, 3 * hdim))
+        wh = self.param("recurrent_kernel", nn.initializers.orthogonal(),
+                        (hdim, 3 * hdim))
+        bi = self.param("bias", nn.initializers.zeros, (3 * hdim,))
+        bh = self.param("recurrent_bias", nn.initializers.zeros, (3 * hdim,))
+
+        batch, time = xs.shape[0], xs.shape[1]
+        h0 = initial_state
+        if h0 is None:
+            h0 = jnp.zeros((batch, hdim), self.dtype)
+
+        default_dev = jax.config.jax_default_device
+        platform = (
+            default_dev.platform if default_dev is not None
+            else jax.default_backend()
+        )
+        use_pallas = (
+            self.allow_pallas and not train and platform not in ("cpu",)
+        )
+        if use_pallas:
+            from ..ops.gru_pallas import gru_scan_pallas
+
+            ys, final = gru_scan_pallas(
+                xs.astype(jnp.float32), h0.astype(jnp.float32),
+                wi.astype(jnp.float32), bi.astype(jnp.float32),
+                wh.astype(jnp.float32), bh.astype(jnp.float32),
+                lengths=lengths, reverse=self.reverse,
+            )
+            return ys.astype(self.dtype), final.astype(self.dtype)
+
         mask = None
         if lengths is not None:
-            mask = jnp.arange(time)[None, :] < lengths[:, None]
+            mask = (jnp.arange(time)[None, :] < lengths[:, None]).astype(
+                self.dtype)
         if self.reverse:
             xs = jnp.flip(xs, axis=1)
             if mask is not None:
                 mask = jnp.flip(mask, axis=1)
-        cell = GRUCell(self.features, reset_after=self.reset_after, dtype=self.dtype)
-        final, ys = _masked_scan_gru(cell, xs, mask, initial_state)
+
+        dt = self.dtype
+        wi_c, wh_c = wi.astype(dt), wh.astype(dt)
+        bi_c, bh_c = bi.astype(dt), bh.astype(dt)
+
+        def step(h, inputs):
+            x, m = inputs
+            gx = x.astype(dt) @ wi_c + bi_c
+            gh = h @ wh_c + bh_c
+            xz, xr, xn = jnp.split(gx, 3, axis=-1)
+            hz, hr, hn = jnp.split(gh, 3, axis=-1)
+            z = jax.nn.sigmoid(xz + hz)
+            r = jax.nn.sigmoid(xr + hr)
+            n = jnp.tanh(xn + r * hn)
+            h_new = z * h + (1.0 - z) * n
+            if m is not None:
+                keep = m[:, None]
+                h_new = keep * h_new + (1.0 - keep) * h
+            return h_new, h_new
+
+        xs_t = jnp.moveaxis(xs, 1, 0)
+        mask_t = None if mask is None else jnp.moveaxis(mask, 1, 0)
+        final, ys = jax.lax.scan(step, h0, (xs_t, mask_t))
+        ys = jnp.moveaxis(ys, 0, 1)
         if self.reverse:
             ys = jnp.flip(ys, axis=1)
         return ys, final
@@ -131,13 +166,17 @@ class BiGRU(nn.Module):
     features: int
     reset_after: bool = True
     dtype: jnp.dtype = jnp.float32
+    allow_pallas: bool = True
 
     @nn.compact
-    def __call__(self, xs: jnp.ndarray, lengths: Optional[jnp.ndarray] = None):
+    def __call__(self, xs: jnp.ndarray, lengths: Optional[jnp.ndarray] = None,
+                 *, train: bool = False):
         fwd, fwd_final = GRU(self.features, reverse=False, reset_after=self.reset_after,
-                             dtype=self.dtype, name="forward")(xs, lengths)
+                             dtype=self.dtype, allow_pallas=self.allow_pallas,
+                             name="forward")(xs, lengths, train=train)
         bwd, bwd_final = GRU(self.features, reverse=True, reset_after=self.reset_after,
-                             dtype=self.dtype, name="backward")(xs, lengths)
+                             dtype=self.dtype, allow_pallas=self.allow_pallas,
+                             name="backward")(xs, lengths, train=train)
         return jnp.concatenate([fwd, bwd], axis=-1), (fwd_final, bwd_final)
 
 
