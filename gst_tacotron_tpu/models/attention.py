@@ -87,9 +87,10 @@ class LocationSensitiveAttention(nn.Module):
         c = self.cfg
         self.query_proj = nn.Dense(c.dim, use_bias=False, dtype=self.dtype)
         self.memory_proj = nn.Dense(c.dim, use_bias=False, dtype=self.dtype)
-        self.location_conv = nn.Conv(
-            c.location_filters, (c.location_kernel_size,), padding="SAME",
-            use_bias=False, dtype=self.dtype,
+        from .modules import MatmulConv1D
+
+        self.location_conv = MatmulConv1D(
+            c.location_filters, c.location_kernel_size, dtype=self.dtype,
         )
         self.location_proj = nn.Dense(c.dim, use_bias=False, dtype=self.dtype)
         self.score_v = nn.Dense(1, use_bias=False, dtype=self.dtype)

@@ -43,9 +43,10 @@ class ReferenceEncoder(nn.Module):
                 x.dtype
             )
             x = x * tmask[:, :, None, None]
+        from .modules import MatmulConv2DStride2
+
         for i, ch in enumerate(c.ref_conv_channels):
-            x = nn.Conv(ch, (3, 3), strides=(2, 2), padding="SAME", use_bias=False,
-                        dtype=self.dtype, name=f"conv_{i}")(x)
+            x = MatmulConv2DStride2(ch, dtype=self.dtype, name=f"conv_{i}")(x)
             x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
                              name=f"bn_{i}")(x)
             x = nn.relu(x)

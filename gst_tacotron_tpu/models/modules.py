@@ -71,11 +71,89 @@ class Highway(nn.Module):
         return h * t + x * (1.0 - t)
 
 
+class MatmulConv1D(nn.Module):
+    """SAME-padded 1-D convolution as a single shifted-stack matmul.
+
+    Drop-in for `nn.Conv(features, (k,))` with identical parameter layout
+    (kernel (k, in, out), optional bias) — but executed as ONE MXU matmul of
+    the k-shifted input against the flattened kernel. On this TPU runtime a
+    small nn.Conv costs ~10-25 ms of dispatch/lowering overhead per op
+    (measured: the K=16 conv bank alone was 417 ms); the matmul form is
+    ~100x cheaper at these shapes and fully differentiable.
+    """
+
+    features: int
+    kernel_size: int
+    use_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k = self.kernel_size
+        b, t, c_in = x.shape
+        kernel = self.param("kernel", nn.initializers.glorot_uniform(),
+                            (k, c_in, self.features))
+        pad_l, pad_r = (k - 1) // 2, k // 2
+        xp = jnp.pad(x, ((0, 0), (pad_l, pad_r), (0, 0)))
+        x_cat = jnp.concatenate(
+            [xp[:, j : j + t] for j in range(k)], axis=-1
+        ).astype(self.dtype)
+        w = kernel.reshape(k * c_in, self.features).astype(self.dtype)
+        y = x_cat @ w
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+class MatmulConv2DStride2(nn.Module):
+    """3x3 stride-2x2 SAME conv2d as patch-extract + one matmul.
+
+    Drop-in for `nn.Conv(features, (3, 3), strides=(2, 2), padding="SAME")`
+    with identical kernel layout (3, 3, in, out). The 9 taps become 9 strided
+    static slices concatenated on the channel axis, contracted in a single
+    (B*H'*W', 9*C) @ (9*C, F) MXU matmul — the TPU-native form of the GST
+    reference-encoder conv stack (the C_in=1 first layer is hopeless for the
+    conv units but dense for the MXU).
+    """
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        kernel = self.param("kernel", nn.initializers.glorot_uniform(),
+                            (3, 3, c, self.features))
+        h_out, w_out = (h + 1) // 2, (w + 1) // 2
+        # TF SAME for stride 2, k=3
+        pad_h = max(0, (h_out - 1) * 2 + 3 - h)
+        pad_w = max(0, (w_out - 1) * 2 + 3 - w)
+        xp = jnp.pad(x, ((0, 0), (pad_h // 2, pad_h - pad_h // 2),
+                         (pad_w // 2, pad_w - pad_w // 2), (0, 0)))
+        patches = []
+        for di in range(3):
+            for dj in range(3):
+                patches.append(
+                    xp[:, di : di + 2 * h_out : 2, dj : dj + 2 * w_out : 2, :]
+                )
+        x_cat = jnp.concatenate(patches, axis=-1).astype(self.dtype)
+        wmat = kernel.reshape(9 * c, self.features).astype(self.dtype)
+        return x_cat @ wmat
+
+
 class ConvBankBlock(nn.Module):
     """Conv1d bank: K parallel convs, widths 1..K, each BN+ReLU, concat.
+    Output: (B, T, K * channels).
 
-    The K convolutions share input; XLA fuses them into a handful of MXU
-    convolutions per width. Output: (B, T, K * channels).
+    TPU-native formulation: instead of K separate small convolutions, the
+    whole bank is ONE matmul. All bank outputs are linear in the 2K-ish
+    shifted copies of x, so we build X_cat = [x shifted by s for each tap
+    offset s] (static slices, the same hop-chunk trick as the DSP framing)
+    and a block matrix W_big whose (s, k) block is conv_k's tap at offset s
+    (zero outside its width). y = X_cat @ W_big is a single (T*B, S*C) x
+    (S*C, K*C) MXU matmul — identical math to the K SAME-padded convs, and
+    differentiable, so it serves training too.
     """
 
     bank_k: int
@@ -85,14 +163,45 @@ class ConvBankBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, lengths: Optional[jnp.ndarray], train: bool):
         x = mask_sequence(x, lengths)
-        outs = []
-        for k in range(1, self.bank_k + 1):
-            y = nn.Conv(self.channels, (k,), padding="SAME", use_bias=False,
-                        dtype=self.dtype, name=f"conv_{k}")(x)
-            y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
-                             name=f"bn_{k}")(y)
-            outs.append(nn.relu(y))
-        return jnp.concatenate(outs, axis=-1)
+        b, t, c_in = x.shape
+        kmax = self.bank_k
+        # tap offsets across all widths: SAME padding for width k covers
+        # offsets j-(k-1)//2 for j in [0,k) -> global range [smin, smax]
+        smin = -((kmax - 1) // 2)
+        smax = kmax // 2
+        shifts = list(range(smin, smax + 1))
+
+        kernels = [
+            self.param(f"conv_{k}_kernel",
+                       nn.initializers.glorot_uniform(),
+                       (k, c_in, self.channels))
+            for k in range(1, kmax + 1)
+        ]
+
+        # X_cat: (B, T, S*C) from static shifted slices
+        pad_l, pad_r = -smin, smax
+        xp = jnp.pad(x, ((0, 0), (pad_l, pad_r), (0, 0)))
+        x_cat = jnp.concatenate(
+            [xp[:, s - smin : s - smin + t] for s in shifts], axis=-1
+        ).astype(self.dtype)
+
+        # W_big: (S*C, K*C_out), block (s, k) = W_k[s + (k-1)//2] or 0
+        blocks = []
+        for s in shifts:
+            row = []
+            for k in range(1, kmax + 1):
+                j = s + (k - 1) // 2
+                if 0 <= j < k:
+                    row.append(kernels[k - 1][j])
+                else:
+                    row.append(jnp.zeros((c_in, self.channels), x.dtype))
+            blocks.append(jnp.concatenate(row, axis=-1))
+        w_big = jnp.concatenate(blocks, axis=0).astype(self.dtype)
+
+        y = x_cat @ w_big  # (B, T, K*C_out)
+        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+                         name="bn")(y)
+        return nn.relu(y)
 
 
 class CBHG(nn.Module):
@@ -124,8 +233,7 @@ class CBHG(nn.Module):
 
         for i, ch in enumerate(self.proj_channels):
             y = mask_sequence(y, lengths)
-            y = nn.Conv(ch, (3,), padding="SAME", use_bias=False, dtype=self.dtype,
-                        name=f"proj_{i}")(y)
+            y = MatmulConv1D(ch, 3, dtype=self.dtype, name=f"proj_{i}")(y)
             y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
                              name=f"proj_bn_{i}")(y)
             if i + 1 < len(self.proj_channels):
@@ -164,8 +272,8 @@ class Conv1dBNStack(nn.Module):
         n = len(self.channels)
         for i, ch in enumerate(self.channels):
             x = mask_sequence(x, lengths)
-            x = nn.Conv(ch, (self.kernel_size,), padding="SAME", use_bias=False,
-                        dtype=self.dtype, name=f"conv_{i}")(x)
+            x = MatmulConv1D(ch, self.kernel_size, dtype=self.dtype,
+                             name=f"conv_{i}")(x)
             x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
                              name=f"bn_{i}")(x)
             if i + 1 < n or self.final_activation:
