@@ -20,6 +20,7 @@ from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
+import numpy as np
 
 
 def length_mask(lengths: jnp.ndarray, time: int) -> jnp.ndarray:
@@ -160,43 +161,48 @@ class ConvBankBlock(nn.Module):
     channels: int
     dtype: jnp.dtype = jnp.float32
 
+    @staticmethod
+    def tap_mask(bank_k: int, c_in: int, channels: int) -> np.ndarray:
+        """0/1 mask over the (S*C_in, K*C_out) block matrix marking valid
+        taps: block (shift s, bank k) is live iff 0 <= s+(k-1)//2 < k."""
+        smin = -((bank_k - 1) // 2)
+        smax = bank_k // 2
+        nshift = smax - smin + 1
+        mask = np.zeros((nshift, c_in, bank_k, channels), np.float32)
+        for si, s in enumerate(range(smin, smax + 1)):
+            for k in range(1, bank_k + 1):
+                if 0 <= s + (k - 1) // 2 < k:
+                    mask[si, :, k - 1, :] = 1.0
+        return mask.reshape(nshift * c_in, bank_k * channels)
+
     @nn.compact
     def __call__(self, x: jnp.ndarray, lengths: Optional[jnp.ndarray], train: bool):
         x = mask_sequence(x, lengths)
         b, t, c_in = x.shape
         kmax = self.bank_k
-        # tap offsets across all widths: SAME padding for width k covers
-        # offsets j-(k-1)//2 for j in [0,k) -> global range [smin, smax]
         smin = -((kmax - 1) // 2)
         smax = kmax // 2
         shifts = list(range(smin, smax + 1))
+        nshift = len(shifts)
 
-        kernels = [
-            self.param(f"conv_{k}_kernel",
-                       nn.initializers.glorot_uniform(),
-                       (k, c_in, self.channels))
-            for k in range(1, kmax + 1)
-        ]
+        # The whole bank is ONE parameter: the block tap matrix itself.
+        # Invalid taps are zero-masked (numpy-constant multiply, one op) —
+        # they get zero gradient and stay zero, so semantics equal K separate
+        # SAME convs of widths 1..K.
+        mask = self.tap_mask(kmax, c_in, self.channels)  # np constant
+        w_big = self.param(
+            "bank_kernel",
+            lambda key, shape: nn.initializers.glorot_uniform()(key, shape)
+            * mask,
+            (nshift * c_in, kmax * self.channels),
+        )
+        w_big = (w_big * mask).astype(self.dtype)
 
         # X_cat: (B, T, S*C) from static shifted slices
-        pad_l, pad_r = -smin, smax
-        xp = jnp.pad(x, ((0, 0), (pad_l, pad_r), (0, 0)))
+        xp = jnp.pad(x, ((0, 0), (-smin, smax), (0, 0)))
         x_cat = jnp.concatenate(
             [xp[:, s - smin : s - smin + t] for s in shifts], axis=-1
         ).astype(self.dtype)
-
-        # W_big: (S*C, K*C_out), block (s, k) = W_k[s + (k-1)//2] or 0
-        blocks = []
-        for s in shifts:
-            row = []
-            for k in range(1, kmax + 1):
-                j = s + (k - 1) // 2
-                if 0 <= j < k:
-                    row.append(kernels[k - 1][j])
-                else:
-                    row.append(jnp.zeros((c_in, self.channels), x.dtype))
-            blocks.append(jnp.concatenate(row, axis=-1))
-        w_big = jnp.concatenate(blocks, axis=0).astype(self.dtype)
 
         y = x_cat @ w_big  # (B, T, K*C_out)
         y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,

@@ -23,33 +23,35 @@ def naive_bank(x, kernels):
 
 
 def test_bank_matmul_matches_convs():
+    """The single masked bank_kernel matmul equals K separate SAME convs."""
     rng = np.random.default_rng(0)
     b, t, c, k, ch = 2, 11, 5, 6, 4
     x = jnp.asarray(rng.standard_normal((b, t, c)), jnp.float32)
     bank = ConvBankBlock(k, ch)
     variables = bank.init(jax.random.PRNGKey(0), x, None, False)
-    kernels = [variables["params"][f"conv_{i}_kernel"] for i in range(1, k + 1)]
+    w_big = np.asarray(variables["params"]["bank_kernel"])
+    mask = ConvBankBlock.tap_mask(k, c, ch)
+    assert np.all(w_big[mask == 0] == 0)  # invalid taps zeroed at init
 
+    # reconstruct the per-width kernels from the block matrix layout
+    smin, smax = -((k - 1) // 2), k // 2
+    nshift = smax - smin + 1
+    w4 = w_big.reshape(nshift, c, k, ch)
+    kernels = []
+    for kk in range(1, k + 1):
+        wk = np.zeros((kk, c, ch), np.float32)
+        for si, s in enumerate(range(smin, smax + 1)):
+            j = s + (kk - 1) // 2
+            if 0 <= j < kk:
+                wk[j] = w4[si, :, kk - 1, :]
+        kernels.append(jnp.asarray(wk))
     ref = naive_bank(x, kernels)
 
-    # bypass BN+relu: set BN to identity by comparing pre-activation via a
-    # manual recompute of the matmul form
-    smin, smax = -((k - 1) // 2), k // 2
     xp = jnp.pad(x, ((0, 0), (-smin, smax), (0, 0)))
     x_cat = jnp.concatenate(
-        [xp[:, s - smin : s - smin + t] for s in range(smin, smax + 1)], axis=-1
-    )
-    blocks = []
-    for s in range(smin, smax + 1):
-        row = []
-        for kk in range(1, k + 1):
-            j = s + (kk - 1) // 2
-            row.append(kernels[kk - 1][j] if 0 <= j < kk
-                       else jnp.zeros((c, ch)))
-        blocks.append(jnp.concatenate(row, axis=-1))
-    w_big = jnp.concatenate(blocks, axis=0)
+        [xp[:, s - smin : s - smin + t] for s in range(smin, smax + 1)],
+        axis=-1)
     got = x_cat @ w_big
-
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
 
