@@ -90,11 +90,14 @@ def bench_fused(cfg, model, state, sample, iterations=10):
 
     from gst_tacotron_tpu.dsp import JaxDSP
 
+    from gst_tacotron_tpu.utils.flatten import FlatTree
+
     dsp = JaxDSP(cfg.audio)
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    fp = FlatTree({"params": state.params, "batch_stats": state.batch_stats})
 
     @jax.jit
-    def synth(acc, variables, tokens, token_lengths, ref_mel, ref_lengths, rng):
+    def synth(acc, flat, tokens, token_lengths, ref_mel, ref_lengths, rng):
+        variables = fp.unpack(flat)
         out = model.apply(
             variables, tokens, token_lengths,
             ref_mel=ref_mel, ref_mel_lengths=ref_lengths,
@@ -109,7 +112,7 @@ def bench_fused(cfg, model, state, sample, iterations=10):
         return wav, out["frame_lengths"], checksum
 
     args = (
-        variables,
+        fp.flat,
         jnp.asarray(sample["tokens"]),
         jnp.asarray(sample["token_lengths"]),
         jnp.asarray(sample["mel"]),
@@ -151,12 +154,16 @@ def bench_fused_pallas(cfg, model, state, sample, iterations=10):
         decode_scan_pallas, pack_decoder_weights,
     )
 
+    from gst_tacotron_tpu.utils.flatten import FlatTree
+
     dsp = JaxDSP(cfg.audio)
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    fp = FlatTree({"params": state.params, "batch_stats": state.batch_stats})
     steps = cfg.model.decoder.max_decode_steps
 
     @jax.jit
-    def encode(variables, tokens, token_lengths, ref_mel, ref_lengths):
+    def encode(flat, tokens, token_lengths, ref_mel, ref_lengths):
+        variables = fp.unpack(flat)
+
         def fn(mdl):
             memory, _ = mdl._build_memory(
                 tokens, token_lengths, ref_mel, ref_lengths, None, None, False)
@@ -165,13 +172,14 @@ def bench_fused_pallas(cfg, model, state, sample, iterations=10):
         return model.apply(variables, method=fn,
                            rngs={"dropout": jax.random.PRNGKey(0)})
 
-    packed = jax.device_put(pack_decoder_weights(
+    packed_fp = FlatTree(pack_decoder_weights(
         jax.device_get(state.params)["decoder"]["cell"],
         cfg.model.num_mels, cfg.model.decoder.reduction_factor,
         tuple(cfg.model.decoder.prenet_dims)))
 
     @jax.jit
-    def decode(packed, memory, keys, token_lengths):
+    def decode(packed_flat, memory, keys, token_lengths):
+        packed = packed_fp.unpack(packed_flat)
         mask = jnp.arange(memory.shape[1])[None, :] < token_lengths[:, None]
         return decode_scan_pallas(
             packed, memory, keys, mask,
@@ -179,7 +187,8 @@ def bench_fused_pallas(cfg, model, state, sample, iterations=10):
             num_mels=cfg.model.num_mels, steps=steps, use_dropout=True)
 
     @jax.jit
-    def finish(variables, mel):
+    def finish(flat, mel):
+        variables = fp.unpack(flat)
         linear = model.apply(
             variables, mel, None, train=False,
             method=lambda mdl, m, fl, train: mdl.postnet(m, fl, train=train))
@@ -192,10 +201,10 @@ def bench_fused_pallas(cfg, model, state, sample, iterations=10):
     ref_lengths = jnp.asarray(sample["mel_lengths"])
 
     def pipeline(acc):
-        memory, keys = encode(variables, tokens, token_lengths,
+        memory, keys = encode(fp.flat, tokens, token_lengths,
                               ref_mel + acc * 1e-9, ref_lengths)
-        mel, stops, aligns = decode(packed, memory, keys, token_lengths)
-        return finish(variables, mel)
+        mel, stops, aligns = decode(packed_fp.flat, memory, keys, token_lengths)
+        return finish(fp.flat, mel)
 
     acc = pipeline(jnp.float32(0.0))
     _ = np.asarray(acc)  # compile all three programs

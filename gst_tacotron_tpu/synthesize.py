@@ -23,6 +23,7 @@ from scipy.io import wavfile
 
 from .config import Config
 from .dsp import JaxDSP
+from .utils.flatten import FlatTree
 from .dsp import ref as dsp_ref
 from .metrics import synthesis_metrics
 from .models import GSTTacotron, alignment_diagonality
@@ -51,6 +52,10 @@ class Synthesizer:
         self.use_pallas_decoder = (
             use_pallas_decoder and cfg.model.attention.kind == "bahdanau"
         )
+        # Per-argument-buffer overhead on the axon runtime is ~10ms/buffer;
+        # pass the whole variable tree as one flat buffer per dtype and carve
+        # the leaves back out inside the program (utils/flatten.py).
+        self._fp = FlatTree(variables)
         self._infer_jit = jax.jit(
             functools.partial(self._infer_fn), static_argnames=("max_steps",)
         )
@@ -58,7 +63,7 @@ class Synthesizer:
             from .ops.decode_pallas import pack_decoder_weights
 
             cell_params = jax.device_get(variables["params"])["decoder"]["cell"]
-            self._packed = jax.device_put(pack_decoder_weights(
+            self._packed_fp = FlatTree(pack_decoder_weights(
                 cell_params, cfg.model.num_mels,
                 cfg.model.decoder.reduction_factor,
                 tuple(cfg.model.decoder.prenet_dims),
@@ -71,8 +76,10 @@ class Synthesizer:
 
     # -- pallas-decoder pipeline stages -------------------------------------
 
-    def _encode_fn(self, variables, tokens, token_lengths, ref_mel,
+    def _encode_fn(self, flat, tokens, token_lengths, ref_mel,
                    ref_mel_lengths, speaker_ids, token_weights, rng):
+        variables = self._fp.unpack(flat)
+
         def fn(mdl):
             memory, aux = mdl._build_memory(
                 tokens, token_lengths, ref_mel, ref_mel_lengths,
@@ -82,10 +89,11 @@ class Synthesizer:
             return memory, keys, aux
         return self.model.apply(variables, method=fn, rngs={"dropout": rng})
 
-    def _decode_kernel_fn(self, packed, memory, keys, token_lengths, rng,
+    def _decode_kernel_fn(self, packed_flat, memory, keys, token_lengths, rng,
                           *, max_steps: int):
         from .ops.decode_pallas import decode_scan_pallas
 
+        packed = self._packed_fp.unpack(packed_flat)
         mask = jnp.arange(memory.shape[1])[None, :] < token_lengths[:, None]
         seed = jax.random.randint(rng, (), 0, 2 ** 31 - 1)
         # On CPU the kernel runs in interpreter mode, and the on-core PRNG has
@@ -98,7 +106,8 @@ class Synthesizer:
             seed=seed, use_dropout=not on_cpu, interpret=on_cpu,
         )
 
-    def _finish_fn(self, variables, mel, stops, alignments, token_lengths):
+    def _finish_fn(self, flat, mel, stops, alignments, token_lengths):
+        variables = self._fp.unpack(flat)
         cfg = self.cfg
         dec = cfg.model.decoder
         if dec.use_stop_token:
@@ -123,9 +132,10 @@ class Synthesizer:
 
     # -- jitted core --------------------------------------------------------
 
-    def _infer_fn(self, variables, tokens, token_lengths, ref_mel,
+    def _infer_fn(self, flat, tokens, token_lengths, ref_mel,
                   ref_mel_lengths, speaker_ids, token_weights, rng,
                   *, max_steps: int):
+        variables = self._fp.unpack(flat)
         out = self.model.apply(
             variables, tokens, token_lengths,
             ref_mel=ref_mel, ref_mel_lengths=ref_mel_lengths,
@@ -186,7 +196,7 @@ class Synthesizer:
 
         steps = max_steps or cfg.model.decoder.max_decode_steps
         call_args = (
-            self.variables, jnp.asarray(tokens), jnp.asarray(lengths),
+            self._fp.flat, jnp.asarray(tokens), jnp.asarray(lengths),
             None if ref_mel is None else jnp.asarray(ref_mel),
             None if ref_lengths is None else jnp.asarray(ref_lengths),
             None if spk is None else jnp.asarray(spk),
@@ -196,11 +206,11 @@ class Synthesizer:
         if self.use_pallas_decoder:
             memory, keys, aux = self._encode_jit(*call_args)
             mel_k, stops_k, aligns_k = self._decode_kernel_jit(
-                self._packed, memory, keys, jnp.asarray(lengths),
+                self._packed_fp.flat, memory, keys, jnp.asarray(lengths),
                 jax.random.PRNGKey(seed + 1), max_steps=steps,
             )
             mel_o, linear_o, wav, fl, diag = self._finish_jit(
-                self.variables, mel_k, stops_k, aligns_k, jnp.asarray(lengths)
+                self._fp.flat, mel_k, stops_k, aligns_k, jnp.asarray(lengths)
             )
             out = {
                 "mel": mel_o, "linear": linear_o, "stop_logits": stops_k,
