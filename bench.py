@@ -73,12 +73,14 @@ def build(cfg_overrides=None):
     if cpu is not None:
         with jax.default_device(cpu):
             model, state = init_state(cfg, jax.random.PRNGKey(0), sample)
-        device = jax.devices()[0]
-        state = jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, device), state
-        )
     else:
         model, state = init_state(cfg, jax.random.PRNGKey(0), sample)
+    # Keep the state on the HOST: holding the ~130-leaf state tree as live
+    # device buffers degrades every subsequent call on this runtime (the
+    # same 3-program pipeline measures 18ms with a lean session vs ~1s with
+    # the tree resident). The benched programs receive params as ONE flat
+    # buffer via FlatTree.
+    state = jax.device_get(state)
     log(f"init done in {time.perf_counter() - t0:.1f}s")
     return cfg, model, state, sample
 
@@ -327,20 +329,25 @@ def main():
     cfg, model, state, sample = build(overrides)
     num_chips = jax.local_device_count()
 
-    audio_seconds, fused_dt, decode_steps = bench_fused(cfg, model, state, sample)
-    fused_tput = audio_seconds / fused_dt / num_chips
-
+    # Measure the headline (pallas pipeline) FIRST: running the huge
+    # monolithic XLA program beforehand degrades subsequent calls in this
+    # runtime session (measured: same pipeline 18ms fresh vs ~1s after).
     pallas_tput = None
+    pallas_result = None
     if cfg.model.attention.kind == "bahdanau":
         try:
             pa_audio, pa_dt, pa_steps = bench_fused_pallas(
                 cfg, model, state, sample)
             pallas_tput = pa_audio / pa_dt / num_chips
-            if pallas_tput > fused_tput:
-                audio_seconds, fused_dt, decode_steps = pa_audio, pa_dt, pa_steps
-                fused_tput = pallas_tput
+            pallas_result = (pa_audio, pa_dt, pa_steps)
         except Exception as e:
             log(f"pallas pipeline failed, using XLA path: {e}")
+
+    audio_seconds, fused_dt, decode_steps = bench_fused(cfg, model, state, sample)
+    fused_tput = audio_seconds / fused_dt / num_chips
+    if pallas_tput is not None and pallas_tput > fused_tput:
+        audio_seconds, fused_dt, decode_steps = pallas_result
+        fused_tput = pallas_tput
 
     per_step, gl_per_frame = bench_reference_style(
         cfg, model, state, sample, max_steps=20 if args.quick else 40
