@@ -57,17 +57,21 @@ def main():
         "linear": rng.random((b, t_mel, cfg.model.num_freq), np.float32),
         "speaker_ids": np.zeros((b,), np.int32),
     }
+    from gst_tacotron_tpu.utils.flatten import FlatTree
+
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         model, state = init_state(cfg, jax.random.PRNGKey(0), sample)
+    state = jax.device_get(state)  # lean session: no resident buffer tree
     log("init done")
 
-    variables = {"params": jax.device_put(state.params),
-                 "batch_stats": jax.device_put(state.batch_stats)}
+    fp = FlatTree({"params": state.params, "batch_stats": state.batch_stats})
 
     # ---- build memory/keys once -------------------------------------------
     @jax.jit
-    def encode(variables, tokens, token_lengths, ref_mel, ref_lengths):
+    def encode(flat, tokens, token_lengths, ref_mel, ref_lengths):
+        variables = fp.unpack(flat)
+
         def fn(mdl):
             memory, _ = mdl._build_memory(
                 tokens, token_lengths, ref_mel, ref_lengths, None, None, False)
@@ -77,7 +81,7 @@ def main():
                            rngs={"dropout": jax.random.PRNGKey(0)})
 
     memory, keys = encode(
-        variables, jnp.asarray(sample["tokens"]),
+        fp.flat, jnp.asarray(sample["tokens"]),
         jnp.asarray(sample["token_lengths"]), jnp.asarray(sample["mel"]),
         jnp.asarray(sample["mel_lengths"]))
     _ = np.asarray(jax.jit(lambda m: jnp.sum(m, axis=(1, 2)))(memory))
@@ -103,7 +107,9 @@ def main():
 
 
     @jax.jit
-    def scan_decode(acc, variables, memory, lengths, rng_key):
+    def scan_decode(acc, flat, memory, lengths, rng_key):
+        variables = fp.unpack(flat)
+
         def fn(mdl):
             mel, stops, aligns, fl = mdl.decoder.decode(
                 memory, lengths, deterministic_prenet=True)
@@ -113,22 +119,21 @@ def main():
 
     dt_scan = timed(
         scan_decode,
-        (variables, memory, jnp.asarray(sample["token_lengths"]),
+        (fp.flat, memory, jnp.asarray(sample["token_lengths"]),
          jax.random.PRNGKey(0)),
         iters=10, name="xla scan decode")
     report["xla_scan_decode_ms"] = dt_scan * 1e3
     report["xla_scan_us_per_step"] = dt_scan / args.steps * 1e6
 
     # ---- fused pallas decode ----------------------------------------------
-    packed = pack_decoder_weights(
-        jax.device_get(state.params)["decoder"]["cell"],
+    packed_fp = FlatTree(pack_decoder_weights(
+        state.params["decoder"]["cell"],
         cfg.model.num_mels, cfg.model.decoder.reduction_factor,
-        tuple(cfg.model.decoder.prenet_dims))
-
-    packed_dev = jax.device_put(packed)
+        tuple(cfg.model.decoder.prenet_dims)))
 
     @jax.jit
-    def pallas_decode(acc, packed, memory, keys, mask):
+    def pallas_decode(acc, packed_flat, memory, keys, mask):
+        packed = packed_fp.unpack(packed_flat)
         mel, stops, aligns = decode_scan_pallas(
             packed, memory, keys, mask,
             dec_cfg=cfg.model.decoder, attn_cfg=cfg.model.attention,
@@ -136,15 +141,18 @@ def main():
             use_dropout=False)
         return acc * 1e-9 + jnp.sum(mel[:, ::7, 0])
 
-    dt_pal = timed(pallas_decode, (packed_dev, memory, keys, mask), iters=10,
-                   name="pallas fused decode")
+    dt_pal = timed(pallas_decode, (packed_fp.flat, memory, keys, mask),
+                   iters=10, name="pallas fused decode")
     report["pallas_decode_ms"] = dt_pal * 1e3
     report["pallas_us_per_step"] = dt_pal / args.steps * 1e6
     report["decode_speedup"] = dt_scan / dt_pal
 
     # parity on TPU
     @jax.jit
-    def both(packed, memory, keys, mask, variables, lengths, rng_key):
+    def both(packed_flat, memory, keys, mask, flat, lengths, rng_key):
+        packed = packed_fp.unpack(packed_flat)
+        variables = fp.unpack(flat)
+
         def fn(mdl):
             mel, stops, aligns, fl = mdl.decoder.decode(
                 memory, lengths, deterministic_prenet=True)
@@ -157,7 +165,7 @@ def main():
         return jnp.max(jnp.abs(mel_ref - mel_k))
 
     err = float(np.asarray(both(
-        packed_dev, memory, keys, mask, variables,
+        packed_fp.flat, memory, keys, mask, fp.flat,
         jnp.asarray(sample["token_lengths"]), jax.random.PRNGKey(0))))
     report["decode_parity_max_err"] = err
     log("decode parity max err:", err)
@@ -183,13 +191,14 @@ def main():
     mel_in = jnp.asarray(rng.random((8, 256, cfg.model.num_mels)), jnp.float32)
     with jax.default_device(cpu):
         rv = refenc.init(jax.random.PRNGKey(0), mel_in, train=False)
-    rv = jax.device_put(rv)
+    rfp = FlatTree(jax.device_get(rv))
 
     @jax.jit
-    def refenc_fwd(acc, rv, mel_in):
+    def refenc_fwd(acc, rflat, mel_in):
+        rv = rfp.unpack(rflat)
         return acc * 1e-9 + jnp.sum(refenc.apply(rv, mel_in, train=False))
 
-    dt_ref = timed(refenc_fwd, (rv, mel_in), iters=20,
+    dt_ref = timed(refenc_fwd, (rfp.flat, mel_in), iters=20,
                    name="ref-encoder conv+gru (8x256)")
     report["ref_encoder_ms_8x256"] = dt_ref * 1e3
 
