@@ -40,10 +40,13 @@ class Synthesizer:
     def __init__(self, cfg: Config, model: GSTTacotron, variables: Dict,
                  text_pad_multiple: int = 32, use_pallas_decoder: bool = False):
         """use_pallas_decoder: route the AR decode through the fused
-        whole-decode Pallas kernel (ops/decode_pallas.py; Bahdanau only) —
-        measured 63x over the XLA scan on v5e. The pipeline then runs as
-        three programs (encode / decode-kernel / postnet+vocoder) instead of
-        one; outputs are identical to ~1e-3."""
+        whole-decode Pallas kernel (ops/decode_pallas.py; Bahdanau only).
+        The pipeline then runs as three programs (encode / decode-kernel /
+        postnet+vocoder) instead of one; outputs are identical to ~1e-3.
+        In a lean session both decoders run near the per-call floor at 200
+        steps (~3.4 ms); the kernel keeps weights VMEM-resident so its
+        advantage grows with decode length (see tools/tpu_kernel_bench.py
+        --steps 1000)."""
         self.cfg = cfg
         self.model = model
         self.variables = variables
