@@ -10,6 +10,7 @@ from .mesh import (
     shard_batch,
 )
 from .sharding import describe_sharding, param_shardings, shard_params
+from .distributed_synthesis import DistributedSynthesizer
 
 __all__ = [
     "DATA_AXIS",
@@ -22,4 +23,5 @@ __all__ = [
     "param_shardings",
     "shard_params",
     "describe_sharding",
+    "DistributedSynthesizer",
 ]

@@ -116,3 +116,31 @@ def test_decode_state_collectives():
     assert int(total[0]) == 8
     assert gathered.shape == (8, 2)
     np.testing.assert_allclose(np.asarray(gathered), np.asarray(context))
+
+
+def test_distributed_synthesizer():
+    """Mesh-sharded synthesis: DP batch + TP params through one jitted infer."""
+    from gst_tacotron_tpu.parallel.distributed_synthesis import (
+        DistributedSynthesizer,
+    )
+    from gst_tacotron_tpu.models import GSTTacotron
+    from gst_tacotron_tpu.text import NUM_SYMBOLS
+    from tests.test_model import tiny_config
+    import jax.numpy as jnp
+
+    cfg = tiny_config("taco1_lj")
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(rng.integers(2, 40, (8, 8)), jnp.int32)
+    lengths = jnp.asarray(np.full((8,), 8, np.int32))
+    mel = jnp.asarray(rng.random((8, 8, cfg.model.num_mels)), jnp.float32)
+
+    model = GSTTacotron(cfg.model, NUM_SYMBOLS)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        tokens, lengths, mel, train=False,
+    )
+    mesh = make_mesh(model_parallelism=2)
+    synth = DistributedSynthesizer(cfg, model, variables, mesh)
+    out = synth(tokens, lengths, max_steps=4)
+    assert out["mel"].shape == (8, 8, cfg.model.num_mels)
+    assert np.all(np.isfinite(np.asarray(out["mel"], np.float32)))
