@@ -109,8 +109,11 @@ class WaveRNN(nn.Module):
     # -- sampling (fixed-length on-device scan) -----------------------------
 
     def sample(self, mel: jnp.ndarray, rng: jax.Array,
-               temperature: float = 1.0) -> jnp.ndarray:
-        """mel (B, T, M) -> wav (B, T*hop) in [-1, 1]."""
+               temperature: float = 1.0, greedy: bool = False) -> jnp.ndarray:
+        """mel (B, T, M) -> wav (B, T*hop) in [-1, 1].
+
+        greedy=True takes the argmax class each step (deterministic; used as
+        the parity oracle for the Pallas sampling kernel)."""
         cond = self.upsample_cond(mel)  # (B, S, C)
         b, s, _ = cond.shape
         h0 = jnp.zeros((b, self.cfg.wavernn_gru_dim), self.dtype)
@@ -120,7 +123,10 @@ class WaveRNN(nn.Module):
             h, prev, key = carry
             key, sub = jax.random.split(key)
             h_new, logits = mdl._step_logits(h, prev, cond_t)
-            cls = jax.random.categorical(sub, logits / temperature, axis=-1)
+            if greedy:
+                cls = jnp.argmax(logits, axis=-1)
+            else:
+                cls = jax.random.categorical(sub, logits / temperature, axis=-1)
             return (h_new, cls, key), cls
 
         scan = nn.scan(
