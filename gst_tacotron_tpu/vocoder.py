@@ -28,15 +28,44 @@ class GriffinLimVocoder:
 
 
 class WaveRNNVocoder:
-    def __init__(self, cfg: Config, variables: Dict[str, Any]):
+    def __init__(self, cfg: Config, variables: Dict[str, Any],
+                 use_pallas: bool = True):
+        """use_pallas routes sampling through the fused Pallas kernel
+        (ops/wavernn_pallas.py) on TPU; CPU always uses the scan sampler."""
         self.cfg = cfg
         self.model = WaveRNN(cfg.model.vocoder, cfg.model.num_mels)
         self.variables = variables
+        self.use_pallas = use_pallas and jax.default_backend() not in ("cpu",)
+        if self.use_pallas:
+            from .ops.wavernn_pallas import pack_wavernn_weights
+            from .utils.flatten import FlatTree
+
+            self._packed_fp = FlatTree(pack_wavernn_weights(
+                jax.device_get(variables["params"]), cfg.model.vocoder
+            ))
+            self._fp = FlatTree(variables)
 
     def __call__(self, outputs: Dict[str, jnp.ndarray],
                  rng: Optional[jax.Array] = None) -> jnp.ndarray:
         if rng is None:
             rng = jax.random.PRNGKey(0)
+        if self.use_pallas:
+            from .dsp.jax_dsp import mulaw_decode
+            from .ops.wavernn_pallas import wavernn_sample_pallas
+
+            @jax.jit
+            def run(flat, packed_flat, mel, rng):
+                variables = self._fp.unpack(flat)
+                packed = self._packed_fp.unpack(packed_flat)
+                cond = self.model.apply(variables, mel,
+                                        method=self.model.upsample_cond)
+                seed = jax.random.randint(rng, (), 0, 2 ** 31 - 1)
+                classes = wavernn_sample_pallas(
+                    packed, cond, cfg=self.cfg.model.vocoder, seed=seed
+                )
+                return mulaw_decode(classes, self.cfg.model.vocoder.wavernn_bits)
+
+            return run(self._fp.flat, self._packed_fp.flat, outputs["mel"], rng)
         return self.model.apply(
             self.variables, outputs["mel"], rng, method=self.model.sample
         )
