@@ -31,6 +31,20 @@ def log(*a):
     print("[bench]", *a, file=sys.stderr, flush=True)
 
 
+def _enable_compile_cache():
+    """Persistent compilation cache: remote compiles on this runtime are
+    slow and high-variance (40s-10min); caching makes repeat runs stable."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/gst_tacotron_jax_cache")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:
+        log(f"compilation cache unavailable: {e}")
+
+
 def build(cfg_overrides=None):
     import jax
 
@@ -323,6 +337,8 @@ def main():
     if args.quick:
         overrides = {"model.decoder.max_decode_steps": 50,
                      "audio.griffin_lim_iters": 8}
+
+    _enable_compile_cache()
 
     import jax
 

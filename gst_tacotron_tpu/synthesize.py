@@ -38,15 +38,23 @@ class Synthesizer:
     """Batch synthesis API over a trained state."""
 
     def __init__(self, cfg: Config, model: GSTTacotron, variables: Dict,
-                 text_pad_multiple: int = 32, use_pallas_decoder: bool = False):
-        """use_pallas_decoder: route the AR decode through the fused
+                 text_pad_multiple: int = 32, use_pallas_decoder: bool = False,
+                 use_chunked_decoder: bool = False, chunk_steps: int = 64):
+        """Decoder modes (mutually exclusive; default = fixed-length scan):
+
+        use_pallas_decoder: route the AR decode through the fused
         whole-decode Pallas kernel (ops/decode_pallas.py; Bahdanau only).
         The pipeline then runs as three programs (encode / decode-kernel /
         postnet+vocoder) instead of one; outputs are identical to ~1e-3.
         In a lean session both decoders run near the per-call floor at 200
         steps (~3.4 ms); the kernel keeps weights VMEM-resident so its
         advantage grows with decode length (see tools/tpu_kernel_bench.py
-        --steps 1000)."""
+        --steps 1000).
+
+        use_chunked_decoder: dynamic early exit — decode in `chunk_steps`
+        while_loop chunks and stop as soon as every utterance's stop token
+        fired (decode.chunked_decode). Saves the wasted tail when
+        max_decode_steps is conservative; any attention kind."""
         self.cfg = cfg
         self.model = model
         self.variables = variables
@@ -55,6 +63,8 @@ class Synthesizer:
         self.use_pallas_decoder = (
             use_pallas_decoder and cfg.model.attention.kind == "bahdanau"
         )
+        self.use_chunked_decoder = use_chunked_decoder and not self.use_pallas_decoder
+        self.chunk_steps = chunk_steps
         # Per-argument-buffer overhead on the axon runtime is ~10ms/buffer;
         # pass the whole variable tree as one flat buffer per dtype and carve
         # the leaves back out inside the program (utils/flatten.py).
@@ -133,6 +143,37 @@ class Synthesizer:
         )
         return mel, linear, wav, frame_lengths, diag
 
+    # -- chunked early-exit pipeline ----------------------------------------
+
+    def _chunked_fn(self, flat, tokens, token_lengths, ref_mel,
+                    ref_mel_lengths, speaker_ids, token_weights, rng,
+                    *, max_steps: int):
+        from .decode import chunked_decode
+
+        variables = self._fp.unpack(flat)
+        memory, aux = self.model.apply(
+            variables, tokens, token_lengths, ref_mel, ref_mel_lengths,
+            token_weights, speaker_ids, False,
+            method=self.model._build_memory, rngs={"dropout": rng},
+        )
+        out = chunked_decode(
+            self.model, variables, memory, token_lengths, rng,
+            chunk_steps=self.chunk_steps, max_steps=max_steps,
+        )
+        linear = self.model.apply(
+            variables, out["mel"], out["frame_lengths"], train=False,
+            method=lambda mdl, m, fl, train: mdl.postnet(m, fl, train=train),
+        )
+        wav = self.dsp.inv_linear_spectrogram(linear)
+        r = self.cfg.model.decoder.reduction_factor
+        out["linear"] = linear
+        out["diagonality"] = alignment_diagonality(
+            out["alignments"], token_lengths,
+            jnp.maximum(1, out["frame_lengths"] // r),
+        )
+        out.update(aux)
+        return out, wav
+
     # -- jitted core --------------------------------------------------------
 
     def _infer_fn(self, flat, tokens, token_lengths, ref_mel,
@@ -206,7 +247,12 @@ class Synthesizer:
             None if token_weights is None else jnp.asarray(token_weights),
             jax.random.PRNGKey(seed),
         )
-        if self.use_pallas_decoder:
+        if self.use_chunked_decoder:
+            if not hasattr(self, "_chunked_jit"):
+                self._chunked_jit = jax.jit(
+                    self._chunked_fn, static_argnames=("max_steps",))
+            out, wav = self._chunked_jit(*call_args, max_steps=steps)
+        elif self.use_pallas_decoder:
             memory, keys, aux = self._encode_jit(*call_args)
             mel_k, stops_k, aligns_k = self._decode_kernel_jit(
                 self._packed_fp.flat, memory, keys, jnp.asarray(lengths),

@@ -52,3 +52,15 @@ def test_pallas_path_falls_back_for_lsa(trained):
     cfg_lsa = apply_overrides(cfg, {"model.attention.kind": "location_sensitive"})
     s = Synthesizer(cfg_lsa, model, variables, use_pallas_decoder=True)
     assert not s.use_pallas_decoder  # LSA -> jnp scan path
+
+
+def test_chunked_decoder_path(trained):
+    cfg, model, variables = trained
+    chunked = Synthesizer(cfg, model, variables, use_chunked_decoder=True,
+                          chunk_steps=2)
+    assert chunked.use_chunked_decoder
+    out = chunked(["early exit test."], seed=1)
+    assert out["wav"].shape[0] == 1
+    assert np.all(np.isfinite(out["wav"]))
+    assert "chunks_run" in out
+    assert int(out["chunks_run"]) >= 1
