@@ -336,3 +336,84 @@ def benchmark_synthesis(synth: Synthesizer, texts: Sequence[str],
     decode_steps = int(np.sum(out["frame_lengths"]) // r)
     return synthesis_metrics(audio_seconds, dt, decode_steps,
                              num_chips=jax.local_device_count())
+
+
+def main(argv=None):
+    """CLI synthesis (reference `python Model.py` inference entry;
+    SURVEY.md §3.3): restore a checkpoint, synthesize texts, write WAVs +
+    alignment PNGs."""
+    import argparse
+
+    from .config import apply_overrides, get_preset, load_config, parse_cli_overrides
+    from .checkpoint import CheckpointManager
+    from .train import init_state
+
+    p = argparse.ArgumentParser(description="Synthesize speech")
+    p.add_argument("--preset", default="taco1_lj")
+    p.add_argument("--config")
+    p.add_argument("--workdir", required=True,
+                   help="training workdir containing checkpoints/")
+    p.add_argument("--out", required=True, help="output directory")
+    p.add_argument("--texts", nargs="+", required=True)
+    p.add_argument("--reference-wavs", nargs="*",
+                   help="style reference wavs (GST configs)")
+    p.add_argument("--speaker-ids", nargs="*", type=int)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--pallas-decoder", action="store_true")
+    p.add_argument("--chunked-decoder", action="store_true")
+    p.add_argument("overrides", nargs="*")
+    args = p.parse_args(argv)
+
+    workdir_cfg = os.path.join(args.workdir, "config.json")
+    if args.config:
+        cfg = load_config(args.config)
+    elif os.path.exists(workdir_cfg):
+        cfg = load_config(workdir_cfg)  # the trainer's resolved config
+    else:
+        cfg = get_preset(args.preset)
+    if args.overrides:
+        cfg = apply_overrides(cfg, parse_cli_overrides(args.overrides))
+
+    # template state for restore
+    import jax
+
+    dummy = {
+        "tokens": np.zeros((1, 8), np.int32),
+        "token_lengths": np.array([8], np.int32),
+        "mel": np.zeros(
+            (1, 2 * cfg.model.decoder.reduction_factor, cfg.model.num_mels),
+            np.float32),
+        "mel_lengths": np.array(
+            [2 * cfg.model.decoder.reduction_factor], np.int32),
+        "linear": np.zeros((1, 2 * cfg.model.decoder.reduction_factor,
+                            cfg.model.num_freq), np.float32),
+        "speaker_ids": np.zeros((1,), np.int32),
+    }
+    model, state = init_state(cfg, jax.random.PRNGKey(0), dummy)
+    ckpt = CheckpointManager(
+        os.path.join(args.workdir, cfg.train.checkpoint_dir))
+    state = ckpt.restore(jax.device_get(state))
+    print(f"restored checkpoint at step {int(state.step)}")
+
+    synth = Synthesizer(
+        cfg, model,
+        {"params": state.params, "batch_stats": state.batch_stats},
+        use_pallas_decoder=args.pallas_decoder,
+        use_chunked_decoder=args.chunked_decoder,
+    )
+    ref_wavs = None
+    if args.reference_wavs:
+        from .data.pattern import load_wav
+
+        ref_wavs = [load_wav(w, cfg.audio.sample_rate)
+                    for w in args.reference_wavs]
+    out = synth(args.texts, reference_wavs=ref_wavs,
+                speaker_ids=args.speaker_ids, seed=args.seed)
+    paths = synth.save_outputs(out, args.out)
+    for pth, d in zip([x for x in paths if x.endswith(".wav")],
+                      out["diagonality"]):
+        print(f"{pth}  (alignment diagonality {float(d):.3f})")
+
+
+if __name__ == "__main__":
+    main()

@@ -210,10 +210,26 @@ class Trainer:
         self.work_dir = work_dir
         self.mesh = mesh
         os.makedirs(work_dir, exist_ok=True)
+        # persist the resolved config so inference tools can reload it
+        from .config import save_config
+
+        save_config(cfg, os.path.join(work_dir, "config.json"))
         if cfg.train.debug_nans:
             jax.config.update("jax_debug_nans", True)
 
         self.dataset = PatternDataset(pattern_dir, cfg.data.metadata_file)
+        meta_audio = self.dataset.metadata.get("audio", {})
+        for key, ours in [("n_fft", cfg.audio.n_fft),
+                          ("hop_length", cfg.audio.hop_length),
+                          ("sample_rate", cfg.audio.sample_rate),
+                          ("num_mels", cfg.audio.num_mels)]:
+            theirs = meta_audio.get(key)
+            if theirs is not None and theirs != ours:
+                raise ValueError(
+                    f"pattern corpus was extracted with audio.{key}={theirs} "
+                    f"but the training config has {ours}; regenerate patterns "
+                    "or align the config"
+                )
         num_shards = jax.process_count()
         self.loader = BucketedLoader(
             self.dataset, cfg.data, cfg.model.decoder.reduction_factor,
