@@ -96,30 +96,44 @@ class BucketedLoader:
         self.buckets = [
             BucketSpec(t, _align_up(f, self.r)) for t, f in cfg.buckets
         ]
-        # Assign each entry to its smallest fitting bucket.
+        # Assign each entry to its smallest fitting bucket. Entries fitting no
+        # bucket are counted and reported, never silently discarded (an
+        # over-long corpus must not quietly train on a subset).
         self.bucket_members: List[List[int]] = [[] for _ in self.buckets]
+        self.dropped_short = 0
+        self.dropped_overflow = 0
         for i, e in enumerate(dataset.entries):
             if e["text_len"] < cfg.min_text_len:
+                self.dropped_short += 1
                 continue
             for b, spec in enumerate(self.buckets):
                 if e["text_len"] <= spec.max_text and e["mel_len"] <= spec.max_frames:
                     self.bucket_members[b].append(i)
                     break
+            else:
+                self.dropped_overflow += 1
+        if self.dropped_overflow or self.dropped_short:
+            print(
+                f"[loader] dropped {self.dropped_overflow} entries exceeding "
+                f"every bucket and {self.dropped_short} below min_text_len "
+                f"(of {len(dataset.entries)}); bucket sizes "
+                f"{[len(m) for m in self.bucket_members]}"
+            )
 
     # -- batch assembly -----------------------------------------------------
 
     def _assemble(self, indices: Sequence[int], spec: BucketSpec) -> Batch:
         n = len(indices)
-        num_mels = self.dataset.load(indices[0])["mel"].shape[1]
-        num_freq = self.dataset.load(indices[0])["linear"].shape[1]
+        items = [self.dataset.load(idx) for idx in indices]
+        num_mels = items[0]["mel"].shape[1]
+        num_freq = items[0]["linear"].shape[1]
         tokens = np.zeros((n, spec.max_text), np.int32)
         token_lengths = np.zeros((n,), np.int32)
         mel = np.zeros((n, spec.max_frames, num_mels), np.float32)
         linear = np.zeros((n, spec.max_frames, num_freq), np.float32)
         mel_lengths = np.zeros((n,), np.int32)
         speaker_ids = np.zeros((n,), np.int32)
-        for j, idx in enumerate(indices):
-            item = self.dataset.load(idx)
+        for j, item in enumerate(items):
             t = item["tokens"][: spec.max_text]
             tokens[j, : len(t)] = t
             token_lengths[j] = len(t)
@@ -170,18 +184,35 @@ class BucketedLoader:
         for indices, spec in self._epoch_batches(epoch):
             yield self._assemble(indices, spec)
 
+    def batches_per_epoch(self) -> int:
+        """Constant across epochs (bucket member counts are fixed)."""
+        return len(self._epoch_batches(0))
+
     def __iter__(self) -> Iterator[Batch]:
-        """Infinite stream over epochs with background prefetch."""
+        return self.stream(0)
+
+    def stream(self, start_batch: int = 0) -> Iterator[Batch]:
+        """Infinite stream over epochs with background prefetch.
+
+        `start_batch` resumes the deterministic stream mid-way (checkpoint
+        resume: pass the restored step count so training continues on the
+        batches it has not seen instead of replaying epoch 0).
+        """
+        bpe = max(1, self.batches_per_epoch())
+        start_epoch, skip = divmod(start_batch, bpe)
         out_q: "queue.Queue" = queue.Queue(maxsize=self.cfg.prefetch)
         stop = threading.Event()
 
         def producer():
-            epoch = 0
+            epoch = start_epoch
+            to_skip = skip
             while not stop.is_set():
-                for batch in self.epoch(epoch):
+                plan = self._epoch_batches(epoch)[to_skip:]
+                to_skip = 0
+                for indices, spec in plan:
                     if stop.is_set():
                         return
-                    out_q.put(batch)
+                    out_q.put(self._assemble(indices, spec))
                 epoch += 1
 
         thread = threading.Thread(target=producer, daemon=True)

@@ -209,6 +209,7 @@ def extract_pattern(utt: Utterance, audio: AudioConfig, out_dir: str,
         "mel_len": int(mel.shape[0]),
         "speaker_id": int(utt.speaker_id),
         "speaker": utt.speaker,
+        "has_wav": bool(store_wav),
     }
 
 

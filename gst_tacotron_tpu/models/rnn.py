@@ -104,13 +104,12 @@ class GRU(nn.Module):
         if h0 is None:
             h0 = jnp.zeros((batch, hdim), self.dtype)
 
-        default_dev = jax.config.jax_default_device
-        platform = (
-            default_dev.platform if default_dev is not None
-            else jax.default_backend()
-        )
+        # Gate on the canonical default backend (not jax_default_device, whose
+        # platform attribute is unreliable under jax.default_device contexts).
+        # Callers that need the scan path regardless pass allow_pallas=False.
         use_pallas = (
-            self.allow_pallas and not train and platform not in ("cpu",)
+            self.allow_pallas and not train
+            and jax.default_backend() not in ("cpu",)
         )
         if use_pallas:
             from ..ops.gru_pallas import gru_scan_pallas

@@ -165,6 +165,23 @@ def _decode_kernel(
     last_frame[...] = jnp.concatenate([lf, pad], axis=-1)
 
 
+def decode_pallas_supported(model_cfg) -> bool:
+    """True iff the fused decode kernel covers this model config.
+
+    The kernel hardcodes the flagship decoder shape (2 decoder GRUs, 2-layer
+    prenet, packed 256-lane output); out-of-scope configs must use the XLA
+    scan path — callers gate on this instead of silently dropping layers.
+    """
+    d = model_cfg.decoder
+    return (
+        model_cfg.attention.kind == "bahdanau"
+        and d.num_decoder_rnn_layers == 2
+        and len(d.prenet_dims) == 2
+        and d.reduction_factor * model_cfg.num_mels + d.reduction_factor
+        <= 2 * LANE
+    )
+
+
 def pack_decoder_weights(cell_params: Dict[str, Any], num_mels: int, r: int,
                          prenet_dims: Tuple[int, int]):
     """Pad/pack the flax DecoderCell param tree into kernel operand layout.
@@ -172,6 +189,11 @@ def pack_decoder_weights(cell_params: Dict[str, Any], num_mels: int, r: int,
     Host-side, once per checkpoint: returns a dict of numpy arrays that
     `decode_scan_pallas` accepts (it is itself fully jittable)."""
     p = cell_params
+    assert len(prenet_dims) == 2, "kernel covers the 2-layer prenet"
+    assert "decoder_rnn_2" not in p, (
+        "kernel covers exactly 2 decoder GRU layers; gate with "
+        "decode_pallas_supported() before packing"
+    )
     nf_pad = LANE  # padded last_frame/prenet input width
 
     pw1 = np.zeros((nf_pad, prenet_dims[0]), np.float32)
@@ -253,8 +275,9 @@ def decode_scan_pallas(
             ((0, b_pad - b), (0, t_pad - t)),
         )
     mask_f = memory_mask.astype(jnp.float32)
-    # fully-padded batch rows would softmax over all -1e9; keep row 0 valid
-    mask_f = mask_f.at[:, 0].set(jnp.maximum(mask_f[:, 0], 1e-3))
+    # Fully-padded batch rows would softmax over all -1e9: force position 0
+    # valid (the kernel tests mask > 0.5) so they get a one-hot alignment.
+    mask_f = mask_f.at[:, 0].set(jnp.maximum(mask_f[:, 0], 1.0))
 
     weights = packed_weights
 

@@ -60,9 +60,14 @@ class Synthesizer:
         self.variables = variables
         self.dsp = JaxDSP(cfg.audio)
         self.text_pad_multiple = text_pad_multiple
+        from .ops.decode_pallas import decode_pallas_supported
+
         self.use_pallas_decoder = (
-            use_pallas_decoder and cfg.model.attention.kind == "bahdanau"
+            use_pallas_decoder and decode_pallas_supported(cfg.model)
         )
+        if use_pallas_decoder and not self.use_pallas_decoder:
+            print("[synthesize] config outside the fused-decode kernel scope; "
+                  "falling back to the XLA scan decoder")
         self.use_chunked_decoder = use_chunked_decoder and not self.use_pallas_decoder
         self.chunk_steps = chunk_steps
         # Per-argument-buffer overhead on the axon runtime is ~10ms/buffer;
@@ -72,6 +77,9 @@ class Synthesizer:
         self._infer_jit = jax.jit(
             functools.partial(self._infer_fn), static_argnames=("max_steps",)
         )
+        if self.use_chunked_decoder:
+            self._chunked_jit = jax.jit(
+                self._chunked_fn, static_argnames=("max_steps",))
         if self.use_pallas_decoder:
             from .ops.decode_pallas import pack_decoder_weights
 
@@ -248,9 +256,6 @@ class Synthesizer:
             jax.random.PRNGKey(seed),
         )
         if self.use_chunked_decoder:
-            if not hasattr(self, "_chunked_jit"):
-                self._chunked_jit = jax.jit(
-                    self._chunked_fn, static_argnames=("max_steps",))
             out, wav = self._chunked_jit(*call_args, max_steps=steps)
         elif self.use_pallas_decoder:
             memory, keys, aux = self._encode_jit(*call_args)

@@ -274,10 +274,11 @@ class Trainer:
               eval_fn=None) -> TrainState:
         cfg = self.cfg
         total = total_steps or cfg.train.total_steps
-        it = iter(self.loader)
+        start_step = int(self.state.step)
+        # resume the deterministic batch stream where the checkpoint left off
+        it = self.loader.stream(start_batch=start_step)
         t0 = time.time()
         window = 0
-        start_step = int(self.state.step)
         for _ in range(start_step, total):
             batch = self._device_batch(next(it))
             self.state, metrics = self.step_fn(self.state, batch)

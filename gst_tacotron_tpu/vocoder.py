@@ -18,6 +18,16 @@ from .dsp import JaxDSP
 from .models.wavernn import WaveRNN
 
 
+def check_vocoder_hop(cfg: Config) -> None:
+    """wavernn_hop must equal the audio hop or WaveRNN conditioning
+    upsampling silently misaligns with the mel frame rate (ADVICE r1)."""
+    if cfg.model.vocoder.wavernn_hop != cfg.audio.hop_length:
+        raise ValueError(
+            f"model.vocoder.wavernn_hop={cfg.model.vocoder.wavernn_hop} != "
+            f"audio.hop_length={cfg.audio.hop_length}; override both together"
+        )
+
+
 class GriffinLimVocoder:
     def __init__(self, cfg: Config):
         self.dsp = JaxDSP(cfg.audio)
@@ -32,6 +42,7 @@ class WaveRNNVocoder:
                  use_pallas: bool = True):
         """use_pallas routes sampling through the fused Pallas kernel
         (ops/wavernn_pallas.py) on TPU; CPU always uses the scan sampler."""
+        check_vocoder_hop(cfg)
         self.cfg = cfg
         self.model = WaveRNN(cfg.model.vocoder, cfg.model.num_mels)
         self.variables = variables

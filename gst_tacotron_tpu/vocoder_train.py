@@ -41,24 +41,32 @@ class VocoderSegmentLoader:
         self.segment_frames = segment_frames
         self.batch_size = batch_size
         self.rng = np.random.default_rng((seed, shard_index))
-        # only utterances long enough and containing wav
+        # Only utterances long enough AND containing wav. Metadata written by
+        # pattern.py records has_wav per entry; older pattern dirs lack the
+        # key, so entries without it are probed by opening the npz once here
+        # (up-front, not mid-training — a partially --store-wav'd dir must
+        # fail or filter at construction, never KeyError inside __iter__).
         self.usable = []
         for i, e in enumerate(dataset.entries):
-            if e["mel_len"] > segment_frames + 2:
+            if e["mel_len"] <= segment_frames + 2:
+                continue
+            has_wav = e.get("has_wav")
+            if has_wav is None:
+                has_wav = "wav" in dataset.load(i)
+            if has_wav:
                 self.usable.append(i)
         self.usable = self.usable[shard_index::num_shards] or self.usable
         if not self.usable:
-            raise ValueError("no usable utterances for vocoder training")
-        item = dataset.load(self.usable[0])
-        if "wav" not in item:
             raise ValueError(
-                "patterns lack waveforms; regenerate with --store-wav"
+                "no usable utterances for vocoder training; patterns must be "
+                "generated with --store-wav and exceed segment_frames"
             )
+        self.num_mels = int(dataset.load(self.usable[0])["mel"].shape[1])
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         f = self.segment_frames
         while True:
-            mel_b = np.zeros((self.batch_size, f, self.ds.load(self.usable[0])["mel"].shape[1]), np.float32)
+            mel_b = np.zeros((self.batch_size, f, self.num_mels), np.float32)
             wav_b = np.zeros((self.batch_size, f * self.hop), np.float32)
             for j in range(self.batch_size):
                 idx = int(self.rng.choice(self.usable))
@@ -77,6 +85,9 @@ class VocoderTrainer:
     def __init__(self, cfg: Config, pattern_dir: str, work_dir: str,
                  mesh: Optional[Mesh] = None, segment_frames: int = 24,
                  batch_size: int = 16):
+        from .vocoder import check_vocoder_hop
+
+        check_vocoder_hop(cfg)
         self.cfg = cfg
         self.mesh = mesh
         os.makedirs(work_dir, exist_ok=True)
