@@ -195,6 +195,11 @@ class LossConfig:
     linear_lowfreq_weight: float = 0.5
     linear_lowfreq_hz: float = 3000.0
     stop_weight: float = 1.0
+    # Masked stop BCE: average only over frames < mel_length + stop_mask_extra
+    # instead of the whole padded bucket — the reference-lineage unmasked mean
+    # dilutes the stop transition with pad frames (VERDICT r1).
+    stop_masked: bool = False
+    stop_mask_extra: int = 10
 
 
 @dataclass(frozen=True)
@@ -211,6 +216,9 @@ class DataConfig:
     shuffle_buffer: int = 2048
     num_workers: int = 2
     prefetch: int = 4
+    # Deterministic held-out split: an entry goes to "val" iff
+    # md5(entry id) mod 1000 < val_fraction * 1000 (stable across runs/hosts).
+    val_fraction: float = 0.0
 
 
 @dataclass(frozen=True)

@@ -17,6 +17,7 @@ Batch dict fields (reference Get_Pattern surface, SURVEY.md §2.1):
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import queue
@@ -39,6 +40,14 @@ class BucketSpec:
 
 def _align_up(x: int, r: int) -> int:
     return ((x + r - 1) // r) * r
+
+
+def entry_split(entry_id: str, val_fraction: float) -> str:
+    """Deterministic, corpus-order-independent train/val assignment."""
+    if val_fraction <= 0.0:
+        return "train"
+    h = int.from_bytes(hashlib.md5(entry_id.encode()).digest()[:4], "big")
+    return "val" if (h % 1000) < val_fraction * 1000 else "train"
 
 
 class PatternDataset:
@@ -83,7 +92,10 @@ class BucketedLoader:
         num_shards: int = 1,
         seed: int = 0,
         drop_remainder: bool = True,
+        split: str = "train",
     ):
+        """split: "train" | "val" | "all" — entries are assigned by
+        `entry_split` using cfg.val_fraction (deterministic holdout)."""
         self.dataset = dataset
         self.cfg = cfg
         self.r = reduction_factor
@@ -92,6 +104,7 @@ class BucketedLoader:
         self.num_shards = num_shards
         self.seed = seed
         self.drop_remainder = drop_remainder
+        self.split = split
 
         self.buckets = [
             BucketSpec(t, _align_up(f, self.r)) for t, f in cfg.buckets
@@ -102,7 +115,12 @@ class BucketedLoader:
         self.bucket_members: List[List[int]] = [[] for _ in self.buckets]
         self.dropped_short = 0
         self.dropped_overflow = 0
+        self.other_split = 0
         for i, e in enumerate(dataset.entries):
+            if (split != "all"
+                    and entry_split(e["id"], cfg.val_fraction) != split):
+                self.other_split += 1
+                continue
             if e["text_len"] < cfg.min_text_len:
                 self.dropped_short += 1
                 continue

@@ -310,4 +310,6 @@ def mulaw_encode(wav: jnp.ndarray, bits: int) -> jnp.ndarray:
 def mulaw_decode(classes: jnp.ndarray, bits: int) -> jnp.ndarray:
     mu = 2 ** bits - 1
     y = 2.0 * classes.astype(jnp.float32) / mu - 1.0
-    return jnp.sign(y) * (jnp.expm1(jnp.abs(y) * jnp.log1p(float(mu)))) / mu
+    wav = jnp.sign(y) * (jnp.expm1(jnp.abs(y) * jnp.log1p(float(mu)))) / mu
+    # expm1/log1p rounding can exceed 1 by ~1e-6 at the extreme classes
+    return jnp.clip(wav, -1.0, 1.0)

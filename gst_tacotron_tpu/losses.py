@@ -73,8 +73,16 @@ def compute_losses(
     if "stop_logits" in outputs and mel_lengths is not None:
         targets = stop_token_targets(mel_lengths, time)
         bce = optax_sigmoid_bce(outputs["stop_logits"], targets)
-        # weight all frames up to (and a bit past) each length
-        stop_loss = jnp.mean(bce)
+        if loss_cfg.stop_masked:
+            # average only over real frames + a short post-stop window: the
+            # unmasked mean trains on bucket padding and dilutes the stop
+            # transition signal
+            smask = sequence_mask(
+                mel_lengths + loss_cfg.stop_mask_extra, time
+            )
+            stop_loss = jnp.sum(bce * smask) / jnp.maximum(jnp.sum(smask), 1.0)
+        else:
+            stop_loss = jnp.mean(bce)
     else:
         stop_loss = jnp.asarray(0.0)
 

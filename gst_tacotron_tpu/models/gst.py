@@ -43,11 +43,11 @@ class ReferenceEncoder(nn.Module):
                 x.dtype
             )
             x = x * tmask[:, :, None, None]
-        from .modules import MatmulConv2DStride2
+        from .modules import BN_EPS, MatmulConv2DStride2
 
         for i, ch in enumerate(c.ref_conv_channels):
             x = MatmulConv2DStride2(ch, dtype=self.dtype, name=f"conv_{i}")(x)
-            x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+            x = nn.BatchNorm(use_running_average=not train, epsilon=BN_EPS, dtype=self.dtype,
                              name=f"bn_{i}")(x)
             x = nn.relu(x)
         # (B, T', F', C) -> (B, T', F'*C)

@@ -23,6 +23,12 @@ import jax.numpy as jnp
 import numpy as np
 
 
+# Keras BatchNormalization default epsilon — the reference lineage is TF2
+# Keras layers, and TF-checkpoint parity (SURVEY.md §7 hard part 2) requires
+# matching it (flax's default is 1e-5, a silent allclose-breaker).
+BN_EPS = 1e-3
+
+
 def length_mask(lengths: jnp.ndarray, time: int) -> jnp.ndarray:
     """(B,) -> (B, T) boolean validity mask."""
     return jnp.arange(time)[None, :] < lengths[:, None]
@@ -205,7 +211,7 @@ class ConvBankBlock(nn.Module):
         ).astype(self.dtype)
 
         y = x_cat @ w_big  # (B, T, K*C_out)
-        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+        y = nn.BatchNorm(use_running_average=not train, epsilon=BN_EPS, dtype=self.dtype,
                          name="bn")(y)
         return nn.relu(y)
 
@@ -240,7 +246,7 @@ class CBHG(nn.Module):
         for i, ch in enumerate(self.proj_channels):
             y = mask_sequence(y, lengths)
             y = MatmulConv1D(ch, 3, dtype=self.dtype, name=f"proj_{i}")(y)
-            y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+            y = nn.BatchNorm(use_running_average=not train, epsilon=BN_EPS, dtype=self.dtype,
                              name=f"proj_bn_{i}")(y)
             if i + 1 < len(self.proj_channels):
                 y = nn.relu(y)
@@ -280,7 +286,7 @@ class Conv1dBNStack(nn.Module):
             x = mask_sequence(x, lengths)
             x = MatmulConv1D(ch, self.kernel_size, dtype=self.dtype,
                              name=f"conv_{i}")(x)
-            x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+            x = nn.BatchNorm(use_running_average=not train, epsilon=BN_EPS, dtype=self.dtype,
                              name=f"bn_{i}")(x)
             if i + 1 < n or self.final_activation:
                 x = nn.relu(x)

@@ -39,7 +39,8 @@ class Synthesizer:
 
     def __init__(self, cfg: Config, model: GSTTacotron, variables: Dict,
                  text_pad_multiple: int = 32, use_pallas_decoder: bool = False,
-                 use_chunked_decoder: bool = False, chunk_steps: int = 64):
+                 use_chunked_decoder: bool = False, chunk_steps: int = 64,
+                 vocoder=None):
         """Decoder modes (mutually exclusive; default = fixed-length scan):
 
         use_pallas_decoder: route the AR decode through the fused
@@ -54,8 +55,18 @@ class Synthesizer:
         use_chunked_decoder: dynamic early exit — decode in `chunk_steps`
         while_loop chunks and stop as soon as every utterance's stop token
         fired (decode.chunked_decode). Saves the wasted tail when
-        max_decode_steps is conservative; any attention kind."""
+        max_decode_steps is conservative; any attention kind.
+
+        vocoder: a vocoder.make_vocoder object. None or GriffinLimVocoder
+        keeps Griffin-Lim fused INSIDE the inference program (fastest path);
+        a WaveRNNVocoder runs as its own jitted program on the decoded mel
+        (config 5, SURVEY.md §7 stage 9)."""
         self.cfg = cfg
+        self.vocoder = vocoder
+        # inline GL inside the jit unless an external (neural) vocoder is set
+        self._inline_gl = (
+            vocoder is None or getattr(vocoder, "kind", "") == "griffin_lim"
+        )
         self.model = model
         self.variables = variables
         self.dsp = JaxDSP(cfg.audio)
@@ -144,7 +155,7 @@ class Synthesizer:
             variables, mel, frame_lengths, train=False,
             method=lambda mdl, m, fl, train: mdl.postnet(m, fl, train=train),
         )
-        wav = self.dsp.inv_linear_spectrogram(linear)
+        wav = self.dsp.inv_linear_spectrogram(linear) if self._inline_gl else None
         diag = alignment_diagonality(
             alignments, token_lengths,
             jnp.maximum(1, frame_lengths // dec.reduction_factor),
@@ -172,7 +183,7 @@ class Synthesizer:
             variables, out["mel"], out["frame_lengths"], train=False,
             method=lambda mdl, m, fl, train: mdl.postnet(m, fl, train=train),
         )
-        wav = self.dsp.inv_linear_spectrogram(linear)
+        wav = self.dsp.inv_linear_spectrogram(linear) if self._inline_gl else None
         r = self.cfg.model.decoder.reduction_factor
         out["linear"] = linear
         out["diagonality"] = alignment_diagonality(
@@ -195,7 +206,8 @@ class Synthesizer:
             method=self.model.infer, rngs={"dropout": rng},
             max_steps=max_steps,
         )
-        wav = self.dsp.inv_linear_spectrogram(out["linear"])
+        wav = (self.dsp.inv_linear_spectrogram(out["linear"])
+               if self._inline_gl else None)
         # diagonality metric inside the jit: eager ops are pathologically
         # slow on the remote-compile TPU path (one program per op)
         r = self.cfg.model.decoder.reduction_factor
@@ -273,6 +285,9 @@ class Synthesizer:
             }
         else:
             out, wav = self._infer_jit(*call_args, max_steps=steps)
+        if not self._inline_gl:
+            # neural vocoder: its own jitted program over the decoded mel
+            wav = self.vocoder(out, jax.random.PRNGKey(seed + 104729))
         frame_lengths = np.asarray(out["frame_lengths"])
         result = {
             k: np.asarray(v) for k, v in out.items() if v is not None
@@ -366,6 +381,12 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--pallas-decoder", action="store_true")
     p.add_argument("--chunked-decoder", action="store_true")
+    p.add_argument("--vocoder", choices=["config", "griffin_lim", "wavernn"],
+                   default="config",
+                   help="waveform stage; 'config' uses model.vocoder.kind")
+    p.add_argument("--vocoder-workdir",
+                   help="vocoder_train workdir with vocoder_ckpt/ "
+                        "(wavernn; defaults to --workdir)")
     p.add_argument("overrides", nargs="*")
     args = p.parse_args(argv)
 
@@ -400,11 +421,26 @@ def main(argv=None):
     state = ckpt.restore(jax.device_get(state))
     print(f"restored checkpoint at step {int(state.step)}")
 
+    vocoder = None
+    vocoder_kind = (cfg.model.vocoder.kind if args.vocoder == "config"
+                    else args.vocoder)
+    if vocoder_kind == "wavernn":
+        from .config import apply_overrides as _apply
+        from .vocoder import make_vocoder
+
+        vcfg = _apply(cfg, {"model.vocoder.kind": "wavernn"})
+        vocoder = make_vocoder(
+            vcfg, vocoder_workdir=args.vocoder_workdir or args.workdir
+        )
+        print(f"restored wavernn vocoder from "
+              f"{args.vocoder_workdir or args.workdir}")
+
     synth = Synthesizer(
         cfg, model,
         {"params": state.params, "batch_stats": state.batch_stats},
         use_pallas_decoder=args.pallas_decoder,
         use_chunked_decoder=args.chunked_decoder,
+        vocoder=vocoder,
     )
     ref_wavs = None
     if args.reference_wavs:

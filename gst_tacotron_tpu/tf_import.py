@@ -24,7 +24,7 @@ When a populated reference checkpoint exists, supply `name_map` entries
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Mapping, Optional, Tuple
+from typing import Any, Dict, Mapping, Tuple
 
 import numpy as np
 
@@ -73,13 +73,12 @@ def set_in_tree(tree: Dict[str, Any], path: str, value: np.ndarray) -> None:
 def import_checkpoint(
     ckpt_path: str,
     name_map: Mapping[str, str],
-    converters: Optional[Mapping[str, Callable[..., Any]]] = None,
 ) -> Dict[str, Any]:
     """Build a flax-style param dict from a TF checkpoint.
 
     name_map: {tf_variable_name: our_param_path}; paths use '/' separators.
-    converters: optional {our_param_path_prefix: fn(**tf_arrays) -> subtree}
-    for grouped conversions (GRU, BatchNorm).
+    Grouped conversions (GRU, BatchNorm) go through `keras_gru_params` /
+    `keras_bn_params` on the loaded array dict instead.
     """
     arrays = load_tf_checkpoint_arrays(ckpt_path)
     params: Dict[str, Any] = {}
@@ -88,3 +87,77 @@ def import_checkpoint(
             raise KeyError(f"variable {tf_name!r} not in checkpoint")
         set_in_tree(params, our_path, arrays[tf_name])
     return params
+
+
+# ---------------------------------------------------------------------------
+# Keras object-graph checkpoint helpers
+# ---------------------------------------------------------------------------
+
+_ATTR = "/.ATTRIBUTES/VARIABLE_VALUE"
+
+
+def keras_variable(arrays: Mapping[str, np.ndarray], prefix: str,
+                   name: str) -> np.ndarray:
+    """Fetch `<prefix>/<name>/.ATTRIBUTES/VARIABLE_VALUE` from a loaded
+    `tf.train.Checkpoint` array dict (the object-graph naming scheme)."""
+    key = f"{prefix}/{name}{_ATTR}"
+    if key not in arrays:
+        # Keras 3 stores some layer variables under private attribute names
+        # (e.g. Conv2D kernel -> "_kernel")
+        head, _, leaf = name.rpartition("/")
+        alt = f"{prefix}/{head + '/' if head else ''}_{leaf}{_ATTR}"
+        if alt in arrays:
+            return arrays[alt]
+        close = sorted(k for k in arrays if k.startswith(prefix))
+        raise KeyError(f"{key!r} not in checkpoint; variables under the "
+                       f"prefix: {close}")
+    return arrays[key]
+
+
+def keras_gru_params(arrays: Mapping[str, np.ndarray], prefix: str
+                     ) -> Dict[str, np.ndarray]:
+    """Keras GRU layer at `prefix` (cell/kernel, cell/recurrent_kernel,
+    cell/bias) -> our GRU/GRUCell param subtree."""
+    try:
+        kernel = keras_variable(arrays, prefix, "cell/kernel")
+        rec = keras_variable(arrays, prefix, "cell/recurrent_kernel")
+        bias = keras_variable(arrays, prefix, "cell/bias")
+    except KeyError:
+        # layers checkpointed without the cell wrapper (tf.keras.layers.GRU
+        # exposes the variables at the layer level too)
+        kernel = keras_variable(arrays, prefix, "kernel")
+        rec = keras_variable(arrays, prefix, "recurrent_kernel")
+        bias = keras_variable(arrays, prefix, "bias")
+    return convert_keras_gru(kernel, rec, bias)
+
+
+def keras_bn_params(arrays: Mapping[str, np.ndarray], prefix: str
+                    ) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray]]:
+    """Keras BatchNormalization at `prefix` -> (params, batch_stats)."""
+    return convert_keras_batchnorm(
+        keras_variable(arrays, prefix, "gamma"),
+        keras_variable(arrays, prefix, "beta"),
+        keras_variable(arrays, prefix, "moving_mean"),
+        keras_variable(arrays, prefix, "moving_variance"),
+    )
+
+
+def import_reference_encoder(ckpt_path: str, num_conv_layers: int,
+                             conv_prefix: str = "conv", bn_prefix: str = "bn",
+                             gru_prefix: str = "gru") -> Dict[str, Any]:
+    """Import a Keras reference-encoder checkpoint (conv2d-s2 stack + BN +
+    GRU; SURVEY.md §2.1 "GST reference encoder") saved as
+    `tf.train.Checkpoint(conv0=…, bn0=…, …, gru=…)` into our
+    ReferenceEncoder variable tree {"params": …, "batch_stats": …}."""
+    arrays = load_tf_checkpoint_arrays(ckpt_path)
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    for i in range(num_conv_layers):
+        params[f"conv_{i}"] = {
+            "kernel": keras_variable(arrays, f"{conv_prefix}{i}", "kernel")
+        }
+        bn_p, bn_s = keras_bn_params(arrays, f"{bn_prefix}{i}")
+        params[f"bn_{i}"] = bn_p
+        stats[f"bn_{i}"] = bn_s
+    params["gru"] = keras_gru_params(arrays, gru_prefix)
+    return {"params": params, "batch_stats": stats}

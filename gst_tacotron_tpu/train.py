@@ -191,7 +191,7 @@ def eval_step(model: GSTTacotron, cfg: Config, state: TrainState,
         batch["token_lengths"],
         batch["mel"],
         train=False,
-        rngs={"dropout": jax.random.fold_in(state.rng, -1)},
+        rngs={"dropout": jax.random.fold_in(state.rng, 2 ** 31 - 1)},
         **kwargs,
     )
     losses = compute_losses(outputs, batch, cfg.loss, cfg.audio)
@@ -236,6 +236,17 @@ class Trainer:
             shard_index=jax.process_index(), num_shards=num_shards,
             seed=cfg.train.seed,
         )
+        # Held-out eval loader (SURVEY.md §4 — the reference has no eval set;
+        # the rebuild runs teacher-forced losses on a deterministic holdout).
+        self.val_loader = None
+        if cfg.data.val_fraction > 0.0:
+            val = BucketedLoader(
+                self.dataset, cfg.data, cfg.model.decoder.reduction_factor,
+                shard_index=jax.process_index(), num_shards=num_shards,
+                seed=cfg.train.seed, split="val", drop_remainder=False,
+            )
+            if any(val.bucket_members):
+                self.val_loader = val
         try:
             sample = next(iter(self.loader.epoch(0)))
         except StopIteration:
@@ -251,11 +262,36 @@ class Trainer:
         )
         self.tx = make_optimizer(cfg.optimizer)
         self.step_fn = make_train_step(self.model, self.tx, cfg, mesh)
+        self.eval_fn = None
+        if self.val_loader is not None:
+            fn = functools.partial(eval_step, self.model, cfg)
+            if mesh is None:
+                self.eval_fn = jax.jit(fn)
+            else:
+                self.eval_fn = jax.jit(
+                    fn, in_shardings=(None, NamedSharding(mesh, P("data"))))
         self.ckpt = CheckpointManager(
             os.path.join(work_dir, cfg.train.checkpoint_dir),
             keep=cfg.train.keep_checkpoints,
         )
         self.logger = MetricLogger(os.path.join(work_dir, "logs"))
+
+    def run_eval(self, step: int, max_batches: int = 8) -> Dict[str, float]:
+        """Teacher-forced losses over (up to) max_batches held-out batches."""
+        sums: Dict[str, float] = {}
+        n = 0
+        for batch in self.val_loader.epoch(0):
+            metrics = self.eval_fn(self.state, self._device_batch(batch))
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            n += 1
+            if n >= max_batches:
+                break
+        if n:
+            means = {k: v / n for k, v in sums.items()}
+            self.logger.write(step, means, prefix="eval")
+            return means
+        return {}
 
     def restore_if_available(self) -> bool:
         step = self.ckpt.latest_step()
@@ -292,8 +328,11 @@ class Trainer:
                 t0, window = time.time(), 0
             if step % cfg.train.checkpoint_every == 0:
                 self.ckpt.save(step, jax.device_get(self.state))
-            if eval_fn is not None and step % cfg.train.eval_every == 0:
-                eval_fn(self, step)
+            if step % cfg.train.eval_every == 0:
+                if self.eval_fn is not None:
+                    self.run_eval(step)
+                if eval_fn is not None:
+                    eval_fn(self, step)
         self.ckpt.save(int(self.state.step), jax.device_get(self.state))
         self.ckpt.wait()
         return self.state
@@ -338,7 +377,10 @@ def main(argv=None):
         cfg = apply_overrides(cfg, parse_cli_overrides(args.overrides))
 
     mesh = None
-    if len(jax.devices()) > 1 or args.model_parallelism > 1:
+    n_dev = len(jax.devices())
+    data_dev = n_dev // max(1, args.model_parallelism)
+    if (n_dev > 1 or args.model_parallelism > 1) and (
+            cfg.data.batch_size % max(1, data_dev) == 0):
         mesh = make_mesh(args.model_parallelism)
 
     trainer = Trainer(cfg, args.patterns, args.workdir, mesh)

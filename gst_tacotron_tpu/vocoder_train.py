@@ -179,7 +179,8 @@ def main(argv=None):
         cfg = apply_overrides(cfg, parse_cli_overrides(args.overrides))
 
     mesh = None
-    if len(jax.devices()) > 1:
+    n_dev = len(jax.devices())
+    if n_dev > 1 and args.batch_size % n_dev == 0:
         from .parallel import make_mesh
         mesh = make_mesh(1)
 

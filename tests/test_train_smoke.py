@@ -131,3 +131,20 @@ def test_train_gst_smoke(pattern_dir, tmp_path):
     trainer = Trainer(cfg, pattern_dir, str(tmp_path / "work_gst"))
     state = trainer.train(total_steps=2)
     assert int(state.step) == 2
+
+
+def test_heldout_eval_runs(pattern_dir, tmp_path):
+    """val_fraction carves a deterministic holdout; the wired eval_step
+    produces finite teacher-forced losses (VERDICT r1 #10)."""
+    cfg = small_cfg(**{"data.val_fraction": 0.3, "loss.stop_masked": True,
+                       "train.eval_every": 1000})
+    trainer = Trainer(cfg, pattern_dir, str(tmp_path / "work_eval"))
+    assert trainer.val_loader is not None
+    # train and val see disjoint utterances
+    train_ids = {i for m in trainer.loader.bucket_members for i in m}
+    val_ids = {i for m in trainer.val_loader.bucket_members for i in m}
+    assert val_ids and train_ids.isdisjoint(val_ids)
+
+    metrics = trainer.run_eval(step=0, max_batches=2)
+    assert metrics and all(np.isfinite(v) for v in metrics.values())
+    assert "eval_loss" in metrics
