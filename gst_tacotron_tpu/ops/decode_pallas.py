@@ -15,11 +15,18 @@ compute + the tiny per-step output write. Recurrent state (attention RNN,
 two decoder GRUs, context, last frame) lives in VMEM scratch, which also
 persists across grid steps.
 
-Scope (flagship gst_lj path): Bahdanau attention, fixed-length decode,
-reduction factor r, optional always-on prenet dropout via the on-core PRNG
-(a different stream than jax.random — statistically equivalent, bit-different;
-parity tests run with dropout off). Location-sensitive attention stays on the
-jnp scan path for now.
+Scope: Bahdanau AND location-sensitive attention, fixed-length decode,
+reduction factor r (incl. r=1, config 3), optional always-on prenet dropout
+via the on-core PRNG (a different stream than jax.random — statistically
+equivalent, bit-different; parity tests run with dropout off).
+
+Location-sensitive path (SURVEY.md §7 hard part 3 "per-step conv over
+accumulated alignments without re-materializing history"): the previous and
+cumulative alignments live in VMEM scratch; the 31-tap location conv and the
+location projection are FOLDED into one (k*c, A) tap matrix at pack time
+(both are bias-free linear maps), and applied per step as k*c shifted
+outer-product FMAs on the VPU — no (B, T, k*c) stack materialized, no HBM
+traffic for alignment history.
 
 Shapes (padded by the wrapper):
   B -> multiple of 8 (sublanes), T_memory -> multiple of 128 (lanes),
@@ -76,7 +83,7 @@ def _decode_kernel(
     memory_ref, keys_ref, mask_ref,
     pw1_ref, pb1_ref, pw2_ref, pb2_ref,            # prenet
     awi_ref, abi_ref, awh_ref, abh_ref,            # attention GRU
-    qproj_ref, vvec_ref,                           # attention score
+    qproj_ref, vvec_ref, loca_ref,                 # attention score (+loc taps)
     dwi_ref, dbi_ref,                              # decoder input proj
     g1wi_ref, g1bi_ref, g1wh_ref, g1bh_ref,        # decoder GRU 1
     g2wi_ref, g2bi_ref, g2wh_ref, g2bh_ref,        # decoder GRU 2
@@ -84,9 +91,10 @@ def _decode_kernel(
     # outputs
     out_ref, align_ref,
     # scratch (persists across grid steps)
-    h_attn, h_d1, h_d2, context, last_frame,
+    h_attn, h_d1, h_d2, context, last_frame, prev_align, cum_align,
     *, num_mels: int, r: int, prenet_dims: Tuple[int, int],
     dropout_rate: float, use_dropout: bool,
+    use_lsa: bool, loc_k: int, loc_c: int,
 ):
     step = pl.program_id(0)
 
@@ -97,6 +105,11 @@ def _decode_kernel(
         h_d2[...] = jnp.zeros_like(h_d2)
         context[...] = jnp.zeros_like(context)
         last_frame[...] = jnp.zeros_like(last_frame)
+        # standard attention-state init: alignment = delta on position 0
+        t_cols = jax.lax.broadcasted_iota(
+            jnp.int32, prev_align.shape, dimension=1)
+        prev_align[...] = (t_cols == 0).astype(jnp.float32)
+        cum_align[...] = jnp.zeros_like(cum_align)
 
     if use_dropout:
         pltpu.prng_seed(seed_ref[0] + step)
@@ -120,14 +133,36 @@ def _decode_kernel(
                       awh_ref[...], abh_ref[...])
     h_attn[...] = h_attn_new
 
-    # Bahdanau scores: v . tanh(keys + W_q q)
+    # scores: v . tanh(keys + W_q q [+ folded location taps])
     q = jnp.dot(h_attn_new, qproj_ref[...], preferred_element_type=jnp.float32)
-    tanh_arg = jnp.tanh(keys_ref[...] + q[:, None, :])       # (B, T, A)
+    tanh_arg = keys_ref[...] + q[:, None, :]                 # (B, T, A)
+    if use_lsa:
+        # per-step location term: Σ_j feats[b, t+j-pad_l, c] * A[j*c + ch, :]
+        # as loc_k*loc_c shifted outer-product FMAs. Shifted (B, T) slices of
+        # the zero-padded alignment scratch are static lane slices; nothing
+        # larger than (B, T, A) is ever materialized.
+        pad_l = (loc_k - 1) // 2
+        pad_r = loc_k // 2
+        bsz, t_len = prev_align.shape
+        zl = jnp.zeros((bsz, pad_l), jnp.float32)
+        zr = jnp.zeros((bsz, pad_r), jnp.float32)
+        feats = [jnp.concatenate([zl, prev_align[...], zr], axis=1)]
+        if loc_c == 2:
+            feats.append(jnp.concatenate([zl, cum_align[...], zr], axis=1))
+        loca = loca_ref[...]                                 # (k*c, A)
+        for j in range(loc_k):
+            for c in range(loc_c):
+                tap = feats[c][:, j : j + t_len]             # (B, T)
+                tanh_arg += tap[:, :, None] * loca[j * loc_c + c][None, None, :]
+    tanh_arg = jnp.tanh(tanh_arg)
     scores = jnp.sum(tanh_arg * vvec_ref[...][None, None, :], axis=-1)  # (B, T)
     scores = jnp.where(mask_ref[...] > 0.5, scores, -1e9)
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m) * (mask_ref[...] > 0.5)
     align = e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-9)  # (B, T)
+    if use_lsa:
+        prev_align[...] = align
+        cum_align[...] = cum_align[...] + align
 
     # context: sum_t align[b,t] * memory[b,t,:]. NOTE: Mosaic cannot lower a
     # batched dot_general with a rank-2 lhs (parse error on
@@ -174,7 +209,7 @@ def decode_pallas_supported(model_cfg) -> bool:
     """
     d = model_cfg.decoder
     return (
-        model_cfg.attention.kind == "bahdanau"
+        model_cfg.attention.kind in ("bahdanau", "location_sensitive")
         and d.num_decoder_rnn_layers == 2
         and len(d.prenet_dims) == 2
         and d.reduction_factor * model_cfg.num_mels + d.reduction_factor
@@ -209,6 +244,15 @@ def pack_decoder_weights(cell_params: Dict[str, Any], num_mels: int, r: int,
 
     qproj = np.asarray(p["attention"]["query_proj"]["kernel"])
     vvec = np.asarray(p["attention"]["score_v"]["kernel"])[:, 0]
+    # Location-sensitive: fold conv (k, c, F) and projection (F, A) — both
+    # bias-free linear maps — into one (k*c, A) tap matrix, matching
+    # MatmulConv1D's x_cat row order (shift-major, channel-minor).
+    loca = np.zeros((1, qproj.shape[1]), np.float32)
+    if "location_conv" in p["attention"]:
+        conv_k = np.asarray(p["attention"]["location_conv"]["kernel"])
+        proj_k = np.asarray(p["attention"]["location_proj"]["kernel"])
+        k, c, f = conv_k.shape
+        loca = conv_k.reshape(k * c, f) @ proj_k            # (k*c, A)
 
     dwi = np.asarray(p["decoder_input_proj"]["kernel"])
     dbi = np.asarray(p["decoder_input_proj"]["bias"])
@@ -233,7 +277,7 @@ def pack_decoder_weights(cell_params: Dict[str, Any], num_mels: int, r: int,
     return dict(
         pw1=pw1, pb1=pb1, pw2=pw2, pb2=pb2,
         awi=awi, abi=abi, awh=awh, abh=abh,
-        qproj=qproj, vvec=vvec, dwi=dwi, dbi=dbi,
+        qproj=qproj, vvec=vvec, loca=loca, dwi=dwi, dbi=dbi,
         g1wi=np.asarray(g1["kernel"]), g1bi=np.asarray(g1["bias"]),
         g1wh=np.asarray(g1["recurrent_kernel"]),
         g1bh=np.asarray(g1["recurrent_bias"]),
@@ -260,7 +304,10 @@ def decode_scan_pallas(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fused fixed-length decode. Returns (mel (B, S*r, M_mel),
     stop_logits (B, S*r), alignments (B, S, T))."""
-    assert attn_cfg.kind == "bahdanau", "kernel covers the Bahdanau path"
+    assert attn_cfg.kind in ("bahdanau", "location_sensitive")
+    use_lsa = attn_cfg.kind == "location_sensitive"
+    loc_c = (2 if attn_cfg.cumulative else 1) if use_lsa else 1
+    loc_k = attn_cfg.location_kernel_size if use_lsa else 1
     r = dec_cfg.reduction_factor
     b, t, m_dim = memory.shape
     a_dim = keys.shape[-1]
@@ -286,6 +333,7 @@ def decode_scan_pallas(
         _decode_kernel,
         num_mels=num_mels, r=r, prenet_dims=tuple(dec_cfg.prenet_dims),
         dropout_rate=dec_cfg.prenet_dropout, use_dropout=use_dropout,
+        use_lsa=use_lsa, loc_k=loc_k, loc_c=loc_c,
     )
 
     # index maps take (grid_idx, *scalar_prefetch_refs) under
@@ -303,6 +351,7 @@ def decode_scan_pallas(
         const(*w["awi"].shape), const(*w["abi"].shape),
         const(*w["awh"].shape), const(*w["abh"].shape),
         const(*w["qproj"].shape), const(*w["vvec"].shape),
+        const(*w["loca"].shape),
         const(*w["dwi"].shape), const(*w["dbi"].shape),
         const(*w["g1wi"].shape), const(*w["g1bi"].shape),
         const(*w["g1wh"].shape), const(*w["g1bh"].shape),
@@ -314,7 +363,7 @@ def decode_scan_pallas(
         memory, keys, mask_f,
         w["pw1"], w["pb1"], w["pw2"], w["pb2"],
         w["awi"], w["abi"], w["awh"], w["abh"],
-        w["qproj"], w["vvec"], w["dwi"], w["dbi"],
+        w["qproj"], w["vvec"], w["loca"], w["dwi"], w["dbi"],
         w["g1wi"], w["g1bi"], w["g1wh"], w["g1bh"],
         w["g2wi"], w["g2bi"], w["g2wh"], w["g2bh"],
         w["fw"], w["fb"],
@@ -336,6 +385,8 @@ def decode_scan_pallas(
             pltpu.VMEM((b_pad, dec_cfg.decoder_rnn_dim), jnp.float32),
             pltpu.VMEM((b_pad, m_dim), jnp.float32),
             pltpu.VMEM((b_pad, LANE), jnp.float32),
+            pltpu.VMEM((b_pad, t_pad), jnp.float32),   # prev alignment
+            pltpu.VMEM((b_pad, t_pad), jnp.float32),   # cumulative alignment
         ],
     )
 

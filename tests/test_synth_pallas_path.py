@@ -47,11 +47,37 @@ def test_pallas_path_matches_standard(trained):
     assert "style_attention" in o_fast
 
 
-def test_pallas_path_falls_back_for_lsa(trained):
+def test_pallas_path_location_sensitive_r1(tmp_path):
+    """Config-3 shape (LSA, r=1) through the fused kernel (VERDICT r1 #4)."""
+    cfg = small_cfg("gst_r1_location", **{
+        "model.decoder.max_decode_steps": 6,
+        "model.attention.location_filters": 4,
+        "model.attention.location_kernel_size": 7,
+        "audio.griffin_lim_iters": 2,
+    })
+    assert cfg.model.decoder.reduction_factor == 1
+    patterns = str(tmp_path / "p")
+    generate_patterns(synthetic_utterances(4), cfg.audio, patterns)
+    trainer = Trainer(cfg, patterns, str(tmp_path / "w"))
+    state = trainer.train(total_steps=1)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    fast = Synthesizer(cfg, trainer.model, variables, use_pallas_decoder=True)
+    assert fast.use_pallas_decoder
+    std = Synthesizer(cfg, trainer.model, variables)
+    o_fast = fast(["location test."], seed=0)
+    o_std = std(["location test."], seed=0)
+    for k in ["mel", "linear", "alignments", "frame_lengths", "wav"]:
+        assert o_fast[k].shape == o_std[k].shape, k
+    assert np.all(np.isfinite(o_fast["wav"]))
+    np.testing.assert_allclose(o_fast["alignments"].sum(-1), 1.0, atol=1e-4)
+
+
+def test_pallas_path_falls_back_out_of_scope(trained):
     cfg, model, variables = trained
-    cfg_lsa = apply_overrides(cfg, {"model.attention.kind": "location_sensitive"})
-    s = Synthesizer(cfg_lsa, model, variables, use_pallas_decoder=True)
-    assert not s.use_pallas_decoder  # LSA -> jnp scan path
+    cfg3 = apply_overrides(cfg, {"model.decoder.num_decoder_rnn_layers": 3})
+    s = Synthesizer(cfg3, model, variables, use_pallas_decoder=True)
+    assert not s.use_pallas_decoder  # 3 GRU layers -> jnp scan path
 
 
 def test_chunked_decoder_path(trained):
