@@ -43,6 +43,7 @@ def chunked_decode(
     chunk_steps: int = 64,
     max_steps: Optional[int] = None,
     all_reduce: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+    deterministic_prenet: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Returns {mel, stop_logits, alignments, frame_lengths, chunks_run}."""
     dec_cfg = model.cfg.decoder
@@ -65,7 +66,8 @@ def chunked_decode(
         return mdl.decoder.cell.init_carry(mem.shape[0], mem.shape[1], go)
 
     def _step(mdl, carry):
-        return mdl.decoder.cell(carry, None, memory, keys, memory_mask)
+        return mdl.decoder.cell(carry, None, memory, keys, memory_mask,
+                                deterministic_prenet=deterministic_prenet)
 
     keys = model.apply(variables, memory, method=_keys)
     carry0 = model.apply(variables, memory, method=_init)

@@ -66,10 +66,12 @@ class GSTTacotron(nn.Module):
         token_weights: Optional[jnp.ndarray],
         speaker_ids: Optional[jnp.ndarray],
         train: bool,
+        deterministic_prenet: bool = False,
     ):
         c = self.cfg
         with jax.named_scope("encoder"):
-            enc = self.encoder(tokens, token_lengths, train=train)
+            enc = self.encoder(tokens, token_lengths, train=train,
+                               deterministic_prenet=deterministic_prenet)
         parts = [enc]
         aux: Dict[str, Any] = {}
         if c.gst.enabled:
@@ -117,7 +119,7 @@ class GSTTacotron(nn.Module):
         """
         memory, aux = self._build_memory(
             tokens, token_lengths, ref_mel, ref_mel_lengths, token_weights,
-            speaker_ids, train,
+            speaker_ids, train, deterministic_prenet,
         )
         with jax.named_scope("decoder_teacher_forced"):
             mel_out, stop_logits, alignments = self.decoder.teacher_forced(
@@ -149,7 +151,7 @@ class GSTTacotron(nn.Module):
         """Autoregressive synthesis (fused fixed-length scan; SURVEY.md §3.3)."""
         memory, aux = self._build_memory(
             tokens, token_lengths, ref_mel, ref_mel_lengths, token_weights,
-            speaker_ids, False,
+            speaker_ids, False, deterministic_prenet,
         )
         with jax.named_scope("decoder_ar_scan"):
             mel_out, stop_logits, alignments, frame_lengths = self.decoder.decode(

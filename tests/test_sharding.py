@@ -118,29 +118,109 @@ def test_decode_state_collectives():
     np.testing.assert_allclose(np.asarray(gathered), np.asarray(context))
 
 
-def test_distributed_synthesizer():
-    """Mesh-sharded synthesis: DP batch + TP params through one jitted infer."""
+def _build_dist(preset="taco1_lj", overrides=None, model_parallelism=2):
+    from gst_tacotron_tpu.config import apply_overrides
     from gst_tacotron_tpu.parallel.distributed_synthesis import (
         DistributedSynthesizer,
     )
     from gst_tacotron_tpu.models import GSTTacotron
     from gst_tacotron_tpu.text import NUM_SYMBOLS
     from tests.test_model import tiny_config
-    import jax.numpy as jnp
 
-    cfg = tiny_config("taco1_lj")
+    cfg = tiny_config(preset)
+    if overrides:
+        cfg = apply_overrides(cfg, overrides)
     rng = np.random.default_rng(0)
     tokens = jnp.asarray(rng.integers(2, 40, (8, 8)), jnp.int32)
-    lengths = jnp.asarray(np.full((8,), 8, np.int32))
+    lengths = jnp.asarray(np.array([8, 6, 8, 5, 8, 7, 8, 6], np.int32))
     mel = jnp.asarray(rng.random((8, 8, cfg.model.num_mels)), jnp.float32)
 
     model = GSTTacotron(cfg.model, NUM_SYMBOLS)
+    kwargs = {}
+    if cfg.model.gst.enabled:
+        kwargs = dict(ref_mel=mel, ref_mel_lengths=jnp.full((8,), 8, jnp.int32))
     variables = model.init(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
-        tokens, lengths, mel, train=False,
+        tokens, lengths, mel, train=False, **kwargs,
     )
-    mesh = make_mesh(model_parallelism=2)
+    mesh = make_mesh(model_parallelism=model_parallelism)
     synth = DistributedSynthesizer(cfg, model, variables, mesh)
+    return cfg, model, variables, synth, tokens, lengths, mel
+
+
+def test_distributed_synthesizer():
+    """Mesh-sharded synthesis: DP batch + TP params through one jitted infer."""
+    cfg, _, _, synth, tokens, lengths, _ = _build_dist()
     out = synth(tokens, lengths, max_steps=4)
     assert out["mel"].shape == (8, 8, cfg.model.num_mels)
     assert np.all(np.isfinite(np.asarray(out["mel"], np.float32)))
+
+
+def test_distributed_synthesizer_gst_inputs():
+    """GST conditioning inputs (ref mel / token weights / speaker ids) ride
+    the data axis with the batch (VERDICT r1 #6)."""
+    cfg, _, _, synth, tokens, lengths, mel = _build_dist(
+        "gst_multispeaker", {"model.num_speakers": 4})
+    spk = jnp.asarray(np.arange(8) % 4, jnp.int32)
+
+    out = synth(tokens, lengths, ref_mel=mel,
+                ref_mel_lengths=jnp.full((8,), 8, jnp.int32),
+                speaker_ids=spk, max_steps=4)
+    assert out["mel"].shape == (8, 8, cfg.model.num_mels)
+    assert out["style_attention"].shape[0] == 8
+    assert np.all(np.isfinite(np.asarray(out["mel"], np.float32)))
+
+    # token-weight-driven style (no reference audio)
+    tw = jnp.asarray(
+        np.full((8, cfg.model.gst.num_tokens),
+                1.0 / cfg.model.gst.num_tokens, np.float32))
+    out2 = synth(tokens, lengths, token_weights=tw, speaker_ids=spk,
+                 max_steps=4)
+    assert np.all(np.isfinite(np.asarray(out2["mel"], np.float32)))
+
+
+@pytest.mark.parametrize("stop_threshold,expect_early", [(0.4, True),
+                                                         (1.0, False)])
+def test_distributed_chunked_consensus(stop_threshold, expect_early):
+    """Chunked early-exit decode under shard_map: (a) outputs match the
+    single-device chunked decode, (b) the while_loop exits on the same chunk
+    on all shards — decided by the pmin stop consensus (VERDICT r1 #6)."""
+    from gst_tacotron_tpu.decode import chunked_decode
+
+    cfg, model, variables, synth, tokens, lengths, _ = _build_dist(
+        "taco1_lj", {"model.decoder.stop_threshold": stop_threshold,
+                     "model.decoder.max_decode_steps": 8},
+        model_parallelism=1,
+    )
+    out = synth(tokens, lengths, max_steps=8, chunked=True, chunk_steps=2,
+                deterministic_prenet=True, seed=3)
+
+    # single-device reference: same math, no mesh
+    memory, _ = model.apply(
+        variables, tokens, lengths, None, None, None, None, False, True,
+        method=model._build_memory,
+        rngs={"dropout": jax.random.PRNGKey(0)},
+    )
+    ref = chunked_decode(
+        model, variables, memory, lengths, jax.random.PRNGKey(0),
+        chunk_steps=2, max_steps=8, deterministic_prenet=True,
+    )
+    n_chunks_dist = int(out["chunks_run"])
+    n_chunks_ref = int(ref["chunks_run"])
+    assert n_chunks_dist == n_chunks_ref
+    if expect_early:
+        assert n_chunks_dist < 4  # exited before the chunk budget
+    else:
+        assert n_chunks_dist == 4
+    np.testing.assert_array_equal(np.asarray(out["frame_lengths"]),
+                                  np.asarray(ref["frame_lengths"]))
+    np.testing.assert_allclose(np.asarray(out["mel"], np.float32),
+                               np.asarray(ref["mel"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["alignments"], np.float32),
+                               np.asarray(ref["alignments"]), atol=1e-5)
+
+
+def test_distributed_chunked_requires_pure_dp():
+    _, _, _, synth, tokens, lengths, _ = _build_dist(model_parallelism=2)
+    with pytest.raises(ValueError, match="model_parallelism=1"):
+        synth(tokens, lengths, max_steps=4, chunked=True)
