@@ -169,13 +169,10 @@ def load_wav(path: str, target_sr: int) -> np.ndarray:
     return wav
 
 
-def extract_pattern(utt: Utterance, audio: AudioConfig, out_dir: str,
-                    store_wav: bool = False) -> Optional[dict]:
-    """Extract and write one pattern file; returns its metadata entry.
-
-    `store_wav` additionally stores the (normalized) waveform — needed for
-    neural-vocoder training (config 5), where targets are samples not frames.
-    """
+def prepare_wav(utt: Utterance, audio: AudioConfig
+                ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Host prep shared by both feature paths: tokenize, load/synthesize,
+    trim, peak-normalize. Returns (tokens, wav) or None if too short."""
     tokens = np.asarray(text_to_ids(utt.text), np.int32)
     if utt.wav_path is None:
         wav = synthesize_wav(utt, audio)
@@ -187,10 +184,12 @@ def extract_pattern(utt: Utterance, audio: AudioConfig, out_dir: str,
     peak = np.abs(wav).max()
     if peak > 1.0:
         wav = wav / peak
+    return tokens, wav
 
-    mel = dsp_ref.melspectrogram(wav, audio)
-    linear = dsp_ref.spectrogram(wav, audio)
 
+def write_pattern(utt: Utterance, tokens: np.ndarray, wav: np.ndarray,
+                  mel: np.ndarray, linear: np.ndarray, out_dir: str,
+                  store_wav: bool) -> dict:
     path = os.path.join(out_dir, utt.utt_id + ".npz")
     arrays = dict(
         tokens=tokens,
@@ -213,6 +212,45 @@ def extract_pattern(utt: Utterance, audio: AudioConfig, out_dir: str,
     }
 
 
+def extract_pattern(utt: Utterance, audio: AudioConfig, out_dir: str,
+                    store_wav: bool = False) -> Optional[dict]:
+    """Extract (host numpy DSP) and write one pattern file.
+
+    `store_wav` additionally stores the (normalized) waveform — needed for
+    neural-vocoder training (config 5), where targets are samples not frames.
+    """
+    prep = prepare_wav(utt, audio)
+    if prep is None:
+        return None
+    tokens, wav = prep
+    mel = dsp_ref.melspectrogram(wav, audio)
+    linear = dsp_ref.spectrogram(wav, audio)
+    return write_pattern(utt, tokens, wav, mel, linear, out_dir, store_wav)
+
+
+def _device_feature_results(utts, audio, out_dir, store_wav,
+                            chunk_size: int = 64):
+    """Two-phase extraction: host prep (trim/normalize) in chunks, then ONE
+    batched on-device program per bucket shape for the STFT/mel FLOPs —
+    the Pallas kernel on TPU (north star "on-TPU feature extraction")."""
+    from ..dsp.device_features import DeviceFeatureExtractor
+
+    extractor = DeviceFeatureExtractor(audio)
+    for start in range(0, len(utts), chunk_size):
+        chunk = utts[start : start + chunk_size]
+        prepped = [(u, prepare_wav(u, audio)) for u in chunk]
+        kept = [(u, p) for u, p in prepped if p is not None]
+        for u, p in prepped:
+            if p is None:
+                yield None
+        if not kept:
+            continue
+        feats = extractor.extract([wav for _, (_, wav) in kept])
+        for (u, (tokens, wav)), (mel, linear) in zip(kept, feats):
+            yield write_pattern(u, tokens, wav, mel, linear, out_dir,
+                                store_wav)
+
+
 def generate_patterns(
     utts: Iterable[Utterance],
     audio: AudioConfig,
@@ -221,11 +259,14 @@ def generate_patterns(
     max_text_len: int = 10000,
     max_mel_frames: int = 100000,
     store_wav: bool = False,
+    device_features: bool = False,
 ) -> dict:
     os.makedirs(out_dir, exist_ok=True)
     utts = list(utts)
     entries = []
-    if num_workers > 1:
+    if device_features:
+        results = _device_feature_results(utts, audio, out_dir, store_wav)
+    elif num_workers > 1:
         with ProcessPoolExecutor(num_workers) as pool:
             results = pool.map(
                 extract_pattern, utts, [audio] * len(utts), [out_dir] * len(utts),
@@ -271,6 +312,9 @@ def main(argv: Optional[List[str]] = None) -> None:
     p.add_argument("--workers", type=int, default=os.cpu_count() or 1)
     p.add_argument("--store-wav", action="store_true",
                    help="also store waveforms (for vocoder training)")
+    p.add_argument("--device-features", action="store_true",
+                   help="extract features on the accelerator (batched Pallas "
+                        "STFT kernel on TPU) instead of host numpy")
     args = p.parse_args(argv)
 
     cfg: Config = load_config(args.config) if args.config else get_preset("taco1_lj")
@@ -283,7 +327,8 @@ def main(argv: Optional[List[str]] = None) -> None:
     meta = generate_patterns(utts, cfg.audio, args.out, num_workers=args.workers,
                              max_text_len=cfg.data.max_text_len,
                              max_mel_frames=cfg.data.max_mel_frames,
-                             store_wav=args.store_wav)
+                             store_wav=args.store_wav,
+                             device_features=args.device_features)
     print(f"wrote {len(meta['entries'])} patterns to {args.out}")
 
 

@@ -1,0 +1,118 @@
+"""Batched on-device feature extraction (BASELINE north star: "grain-style
+host loader feeding on-TPU feature extraction"; VERDICT r1 #2).
+
+Production wiring for the Pallas mel-STFT kernel (ops/stft_pallas.py):
+
+  * host side does only the O(S) scalar prep that must match the numpy
+    oracle exactly — preemphasis IIR and per-utterance reflect center
+    padding — then zero-pads to a small set of bucket lengths;
+  * the FLOP-heavy window/DFT/mel/dB pipeline runs as ONE jitted program per
+    bucket shape: the Pallas STFT kernel on TPU, the jnp matmul-DFT on CPU.
+
+Parity: because the reflect pad is applied per utterance BEFORE batching,
+the first `num_frames` frames of a padded batch row are bit-identical in
+structure to a per-utterance extraction — `extract` output matches
+`dsp.ref.melspectrogram`/`spectrogram` to float tolerance at every frame,
+including the tail (tests/test_device_features.py).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import AudioConfig
+from .jax_dsp import JaxDSP
+from . import ref as dsp_ref
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class DeviceFeatureExtractor:
+    """wav list -> [(mel (T, M), linear (T, F))] via batched device programs."""
+
+    def __init__(self, cfg: AudioConfig, use_pallas: Optional[bool] = None,
+                 interpret: bool = False, batch_size: int = 8,
+                 frame_bucket: int = 128):
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.frame_bucket = frame_bucket
+        self.interpret = interpret
+        if use_pallas is None:
+            use_pallas = jax.default_backend() not in ("cpu",)
+        self.use_pallas = use_pallas
+        self._jdsp = JaxDSP(cfg)
+        self._jit = jax.jit(self._compute)
+
+    # -- device program -----------------------------------------------------
+
+    def _compute(self, prepped: jnp.ndarray
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """(B, L) preemphasized+center-padded+zero-bucketed -> (mel, linear)."""
+        frames = self._jdsp.frame_precentered(prepped)  # (B, T, n_fft)
+        if self.use_pallas:
+            from ..ops.stft_pallas import stft_features_pallas
+
+            b, t, n = frames.shape
+            mel, lin = stft_features_pallas(
+                frames.reshape(b * t, n), self.cfg, interpret=self.interpret
+            )
+            return (mel.reshape(b, t, self.cfg.num_mels),
+                    lin.reshape(b, t, self.cfg.num_freq))
+        return self._jdsp.features_from_frames(frames)
+
+    # -- host prep ----------------------------------------------------------
+
+    def _prep(self, wav: np.ndarray) -> Tuple[np.ndarray, int]:
+        """preemphasis + reflect center pad; returns (prepped, num_frames)."""
+        cfg = self.cfg
+        wav = np.asarray(wav, np.float64)
+        num_frames = 1 + len(wav) // cfg.hop_length
+        pre = dsp_ref.preemphasis(wav, cfg.preemphasis)
+        pad = cfg.n_fft // 2
+        return np.pad(pre, (pad, pad), mode="reflect"), num_frames
+
+    def _bucket_len(self, num_frames: int) -> int:
+        t_pad = _round_up(num_frames, self.frame_bucket)
+        return (t_pad - 1) * self.cfg.hop_length + self.cfg.n_fft
+
+    # -- public API ---------------------------------------------------------
+
+    def extract(self, wavs: Sequence[np.ndarray]
+                ) -> List[Tuple[np.ndarray, np.ndarray]]:
+        """Bucket by padded frame count, batch same-bucket utterances, run
+        the jitted program once per full batch, slice to true frame counts."""
+        prepped = [self._prep(w) for w in wavs]
+        order = sorted(range(len(wavs)),
+                       key=lambda i: self._bucket_len(prepped[i][1]))
+        results: List[Optional[Tuple[np.ndarray, np.ndarray]]] = (
+            [None] * len(wavs))
+        i = 0
+        while i < len(order):
+            # group same-bucket utterances up to batch_size
+            L = self._bucket_len(prepped[order[i]][1])
+            group = [order[i]]
+            while (len(group) < self.batch_size
+                   and i + len(group) < len(order)
+                   and self._bucket_len(prepped[order[i + len(group)]][1]) == L):
+                group.append(order[i + len(group)])
+            batch = np.zeros((len(group), L), np.float32)
+            for row, idx in enumerate(group):
+                # when S % hop != 0 the last frame ends exactly at L, which can
+                # be a few samples short of len(sig); the surplus samples are
+                # never read by any kept frame
+                sig = prepped[idx][0][:L]
+                batch[row, : len(sig)] = sig
+            mel, lin = self._jit(jnp.asarray(batch))
+            mel, lin = np.asarray(mel), np.asarray(lin)
+            for row, idx in enumerate(group):
+                t = prepped[idx][1]
+                results[idx] = (mel[row, :t].astype(np.float32),
+                                lin[row, :t].astype(np.float32))
+            i += len(group)
+        return results  # type: ignore[return-value]

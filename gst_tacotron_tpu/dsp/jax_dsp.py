@@ -148,6 +148,36 @@ class JaxDSP:
         mel = normalize_db(amp_to_db(mel) - self.cfg.ref_level_db, self.cfg)
         return mel, lin
 
+    def frame_precentered(self, wav: jnp.ndarray) -> jnp.ndarray:
+        """(B, L) ALREADY preemphasized + reflect-center-padded -> (B, T, n_fft).
+
+        The batched feature extractors pad utterances to bucket lengths with
+        zeros AFTER the host applies the per-utterance reflect padding; doing
+        the reflect pad here (as `_frame` does) would fold zeros into the
+        tail frames and break parity with the per-utterance oracle."""
+        cfg = self.cfg
+        k = cfg.n_fft // cfg.hop_length
+        total = wav.shape[-1]
+        num_frames = 1 + (total - cfg.n_fft) // cfg.hop_length
+        num_chunks = total // cfg.hop_length
+        chunks = wav[:, : num_chunks * cfg.hop_length].reshape(
+            wav.shape[0], num_chunks, cfg.hop_length
+        )
+        parts = [chunks[:, j : j + num_frames] for j in range(k)]
+        return jnp.concatenate(parts, axis=-1)
+
+    def features_from_frames(self, frames: jnp.ndarray
+                             ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """(B, T, n_fft) raw frames -> (mel, linear), normalized dB."""
+        frames = frames * self.window[None, None, :]
+        re = jnp.einsum("btn,nf->btf", frames, self.dft_cos)
+        im = jnp.einsum("btn,nf->btf", frames, self.dft_sin)
+        mag = jnp.sqrt(re * re + im * im)
+        lin = normalize_db(amp_to_db(mag) - self.cfg.ref_level_db, self.cfg)
+        mel = jnp.einsum("btf,mf->btm", mag, self.mel_basis)
+        mel = normalize_db(amp_to_db(mel) - self.cfg.ref_level_db, self.cfg)
+        return mel, lin
+
     # -- inverse ------------------------------------------------------------
 
     def _overlap_add(self, frames: jnp.ndarray) -> jnp.ndarray:
