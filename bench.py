@@ -45,10 +45,10 @@ def _enable_compile_cache():
         log(f"compilation cache unavailable: {e}")
 
 
-def build(cfg_overrides=None):
+def build(cfg_overrides=None, checkpoint_workdir=None):
     import jax
 
-    from gst_tacotron_tpu.config import apply_overrides, get_preset
+    from gst_tacotron_tpu.config import apply_overrides, get_preset, load_config
     from gst_tacotron_tpu.train import init_state
 
     ov = {
@@ -64,13 +64,36 @@ def build(cfg_overrides=None):
     }
     if cfg_overrides:
         ov.update(cfg_overrides)
-    cfg = apply_overrides(get_preset("gst_lj"), ov)
+    if checkpoint_workdir is not None:
+        # Trained-model bench (BASELINE "decode steps/sec" on a real model):
+        # real stop-token termination instead of the forced full-length run.
+        import os
+
+        base = load_config(os.path.join(checkpoint_workdir, "config.json"))
+        ov.pop("model.decoder.stop_threshold", None)
+        cfg = apply_overrides(base, ov)
+    else:
+        cfg = apply_overrides(get_preset("gst_lj"), ov)
 
     rng = np.random.default_rng(0)
     t_text, t_mel, batch = 64, 128, 8
+    if checkpoint_workdir is not None:
+        # real sentences, not random ids: stop-token timing on a trained
+        # model only makes sense for text it was trained to speak
+        from gst_tacotron_tpu.text import batch_text_to_ids
+
+        sents = list(cfg.train.eval_sentences)
+        texts = [sents[i % len(sents)] for i in range(batch)]
+        tok, tok_len = batch_text_to_ids(texts)
+        tokens = np.zeros((batch, t_text), np.int32)
+        tokens[:, : min(t_text, tok.shape[1])] = tok[:, :t_text]
+        token_lengths = np.minimum(tok_len, t_text).astype(np.int32)
+    else:
+        tokens = rng.integers(2, 40, (batch, t_text)).astype(np.int32)
+        token_lengths = np.full((batch,), t_text, np.int32)
     sample = {
-        "tokens": rng.integers(2, 40, (batch, t_text)).astype(np.int32),
-        "token_lengths": np.full((batch,), t_text, np.int32),
+        "tokens": tokens,
+        "token_lengths": token_lengths,
         "mel": rng.random((batch, t_mel, cfg.model.num_mels), np.float32),
         "mel_lengths": np.full((batch,), t_mel, np.int32),
         "linear": rng.random((batch, t_mel, cfg.model.num_freq), np.float32),
@@ -95,6 +118,15 @@ def build(cfg_overrides=None):
     # the tree resident). The benched programs receive params as ONE flat
     # buffer via FlatTree.
     state = jax.device_get(state)
+    if checkpoint_workdir is not None:
+        import os
+
+        from gst_tacotron_tpu.checkpoint import CheckpointManager
+
+        ckpt = CheckpointManager(
+            os.path.join(checkpoint_workdir, cfg.train.checkpoint_dir))
+        state = ckpt.restore(state)
+        log(f"restored trained checkpoint at step {int(state.step)}")
     log(f"init done in {time.perf_counter() - t0:.1f}s")
     return cfg, model, state, sample
 
@@ -327,11 +359,97 @@ def bench_reference_style(cfg, model, state, sample, max_steps=40):
     return per_step, gl_per_frame
 
 
+def bench_scaling_child(n_devices: int, steps: int = 10) -> None:
+    """Child process: sharded GST train-step throughput on an n-device fake
+    CPU mesh, fixed per-device batch (weak scaling). Prints one JSON line."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from gst_tacotron_tpu.config import apply_overrides, get_preset
+    from gst_tacotron_tpu.parallel import make_mesh, shard_batch, shard_params
+    from gst_tacotron_tpu.train import init_state, make_optimizer, make_train_step
+
+    import __graft_entry__ as graft
+
+    cfg = apply_overrides(get_preset("gst_lj"), graft._tiny_overrides())
+    cfg = apply_overrides(cfg, {"data.batch_size": 2 * n_devices})
+    batch = graft._make_batch(cfg, batch=2 * n_devices)
+    mesh = make_mesh(1, devices=jax.devices()[:n_devices])
+
+    model, state = init_state(cfg, jax.random.PRNGKey(0), batch)
+    state = state.replace(params=shard_params(state.params, mesh))
+    tx = make_optimizer(cfg.optimizer)
+    step_fn = make_train_step(model, tx, cfg, mesh, donate=False)
+
+    import jax.numpy as jnp
+
+    db = shard_batch({k: jnp.asarray(v) for k, v in batch.items()}, mesh)
+    state, metrics = step_fn(state, db)  # compile
+    jax.block_until_ready(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = step_fn(state, db)
+    jax.block_until_ready(metrics["loss"])
+    dt = (time.perf_counter() - t0) / steps
+    print(json.dumps({
+        "devices": n_devices,
+        "steps_per_sec": 1.0 / dt,
+        "global_samples_per_sec": (2 * n_devices) / dt,
+    }))
+
+
+def bench_scaling(device_counts=(1, 2, 4, 8)):
+    """Fan out child processes with forced host device counts; normalize the
+    weak-scaling efficiency curve (BASELINE 'scaling efficiency ... 1 chip /
+    1 host / N hosts' — the cells this single-chip sandbox can fill; the
+    absolute CPU numbers are meaningless, the curve shape is the data)."""
+    import os
+    import subprocess
+
+    rows = []
+    for n in device_counts:
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = (
+            env.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={n}"
+        ).strip()
+        out = subprocess.run(
+            [sys.executable, __file__, "--scaling-child", str(n)],
+            capture_output=True, text=True, env=env, timeout=1200,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
+        if not line:
+            log(f"scaling child n={n} failed: {out.stderr[-500:]}")
+            continue
+        rows.append(json.loads(line))
+        log(f"scaling n={n}: {rows[-1]['global_samples_per_sec']:.2f} samples/s")
+    if rows:
+        base = rows[0]["global_samples_per_sec"] / rows[0]["devices"]
+        for r in rows:
+            per_dev = r["global_samples_per_sec"] / r["devices"]
+            r["weak_scaling_efficiency"] = round(per_dev / base, 3)
+    return rows
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true", help="smaller workload")
     p.add_argument("--details", help="write detailed JSON here")
+    p.add_argument("--checkpoint",
+                   help="training workdir: bench the TRAINED model with real "
+                        "stop-token termination (BASELINE decode-steps/sec)")
+    p.add_argument("--scaling", action="store_true",
+                   help="also measure the 1/2/4/8-device weak-scaling curve "
+                        "on a fake CPU mesh (written to --details)")
+    p.add_argument("--scaling-child", type=int, help=argparse.SUPPRESS)
     args = p.parse_args()
+
+    if args.scaling_child:
+        bench_scaling_child(args.scaling_child)
+        return
 
     overrides = None
     if args.quick:
@@ -342,7 +460,7 @@ def main():
 
     import jax
 
-    cfg, model, state, sample = build(overrides)
+    cfg, model, state, sample = build(overrides, args.checkpoint)
     num_chips = jax.local_device_count()
 
     # Measure the headline (pallas pipeline) FIRST: running the huge
@@ -350,7 +468,7 @@ def main():
     # runtime session (measured: same pipeline 18ms fresh vs ~1s after).
     pallas_tput = None
     pallas_result = None
-    if cfg.model.attention.kind == "bahdanau":
+    if cfg.model.attention.kind == "bahdanau" and args.checkpoint is None:
         try:
             pa_audio, pa_dt, pa_steps = bench_fused_pallas(
                 cfg, model, state, sample)
@@ -404,6 +522,23 @@ def main():
             "device — see bench.py docstring"
         ),
     }
+    if args.checkpoint:
+        details["trained_checkpoint"] = {
+            "workdir": args.checkpoint,
+            "step": int(state.step),
+            "stop_threshold": cfg.model.decoder.stop_threshold,
+            "note": "real stop-token termination; audio_seconds reflects "
+                    "per-utterance stopping, not forced full-length decode",
+        }
+    if args.scaling:
+        details["weak_scaling_fake_cpu_mesh"] = bench_scaling()
+        details["scaling_note"] = (
+            "weak scaling (fixed per-device batch) of the sharded GST train "
+            "step on an N-virtual-device CPU mesh; absolute numbers are "
+            "CPU-bound, the efficiency column is the datum. Real multi-host "
+            "recipe: parallel/mesh.initialize_distributed + train "
+            "--model-parallelism on a pod slice."
+        )
     if args.details:
         with open(args.details, "w") as f:
             json.dump(details, f, indent=2)

@@ -104,12 +104,17 @@ class GRU(nn.Module):
         if h0 is None:
             h0 = jnp.zeros((batch, hdim), self.dtype)
 
-        # Gate on the canonical default backend (not jax_default_device, whose
-        # platform attribute is unreliable under jax.default_device contexts).
-        # Callers that need the scan path regardless pass allow_pallas=False.
+        # Platform gating at trace time: jax_default_device (set by
+        # `with jax.default_device(cpu)` — the bench/CLI pattern for host-side
+        # init in a TPU process) takes precedence over the process default
+        # backend. Neither signal sees per-array placement; callers that need
+        # the scan path regardless pass allow_pallas=False.
+        default_dev = jax.config.jax_default_device
+        platform = (
+            getattr(default_dev, "platform", None) or jax.default_backend()
+        )
         use_pallas = (
-            self.allow_pallas and not train
-            and jax.default_backend() not in ("cpu",)
+            self.allow_pallas and not train and platform not in ("cpu",)
         )
         if use_pallas:
             from ..ops.gru_pallas import gru_scan_pallas

@@ -21,6 +21,81 @@ def log(*a):
     print("[kbench]", *a, file=sys.stderr, flush=True)
 
 
+# Published per-chip peaks for roofline normalization (bf16 matmul TFLOP/s,
+# HBM GB/s). The kernels here run f32, whose MXU rate is lower than bf16 —
+# the bf16 fraction is therefore a LOWER bound on hardware utilization; both
+# ceilings are reported.
+CHIP_PEAKS = {
+    # device_kind substring -> (bf16_tflops, hbm_gbps)
+    "v6e": (918.0, 1640.0),
+    "v6": (918.0, 1640.0),
+    "v5e": (197.0, 819.0),
+    "v5p": (459.0, 2765.0),
+    "v4": (275.0, 1228.0),
+}
+
+
+def chip_peaks(device) -> dict:
+    kind = getattr(device, "device_kind", str(device)).lower()
+    for key, (tf, bw) in CHIP_PEAKS.items():
+        if key in kind:
+            return {"device_kind": kind, "bf16_tflops": tf, "hbm_gbps": bw}
+    return {"device_kind": kind, "bf16_tflops": None, "hbm_gbps": None,
+            "note": "unknown chip; achieved numbers only"}
+
+
+def roofline(name, flops, bytes_moved, seconds, peaks) -> dict:
+    """Achieved vs speed-of-light: compute-bound and bandwidth-bound
+    ceilings from the chip peaks (BASELINE 'kernels at per-chip
+    speed-of-light'; VERDICT r1 #5)."""
+    out = {
+        "kernel": name,
+        "flops": flops,
+        "bytes": bytes_moved,
+        "wall_us": seconds * 1e6,
+        "achieved_tflops": flops / seconds / 1e12,
+        "achieved_gbps": bytes_moved / seconds / 1e9,
+        "arithmetic_intensity": flops / max(bytes_moved, 1),
+    }
+    if peaks.get("bf16_tflops"):
+        t_compute = flops / (peaks["bf16_tflops"] * 1e12)
+        t_memory = bytes_moved / (peaks["hbm_gbps"] * 1e9)
+        sol = max(t_compute, t_memory)
+        out["bound"] = "compute" if t_compute >= t_memory else "memory"
+        out["speed_of_light_us"] = sol * 1e6
+        out["fraction_of_sol"] = sol / seconds
+        out["pct_bf16_peak"] = 100.0 * out["achieved_tflops"] / peaks["bf16_tflops"]
+        out["pct_hbm_peak"] = 100.0 * out["achieved_gbps"] / peaks["hbm_gbps"]
+    return out
+
+
+def decode_step_flops(cfg, batch, t_mem) -> int:
+    """FLOPs of ONE decoder step (the kernel's matmul graph), from config."""
+    d = cfg.model.decoder
+    a = cfg.model.attention
+    m = cfg.model.num_mels
+    r = d.reduction_factor
+    enc = cfg.model.encoder.output_dim + (
+        cfg.model.gst.style_dim if cfg.model.gst.enabled else 0)
+    p1, p2 = d.prenet_dims
+    mm = 0
+    mm += m * p1 + p1 * p2                                   # prenet
+    attn_in = p2 + enc
+    mm += attn_in * 3 * d.attention_rnn_dim \
+        + d.attention_rnn_dim * 3 * d.attention_rnn_dim      # attention GRU
+    mm += d.attention_rnn_dim * a.dim                        # query proj
+    mm += t_mem * a.dim                                      # score reduce
+    if a.kind == "location_sensitive":
+        c = 2 if a.cumulative else 1
+        mm += t_mem * a.location_kernel_size * c * a.dim     # folded loc taps
+    mm += t_mem * enc                                        # context matvec
+    dec_in = d.attention_rnn_dim + enc
+    mm += dec_in * d.decoder_rnn_dim                         # input proj
+    mm += 2 * (d.decoder_rnn_dim * 3 * d.decoder_rnn_dim * 2)  # 2 GRUs
+    mm += (d.decoder_rnn_dim + enc) * (r * m + r)            # frame+stop
+    return 2 * batch * mm
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=200)
@@ -44,8 +119,9 @@ def main():
         "model.decoder.max_decode_steps": args.steps,
         "model.decoder.stop_threshold": 1.0,
     })
+    peaks = chip_peaks(jax.devices()[0])
     report = {"device": str(jax.devices()[0]), "steps": args.steps,
-              "batch": args.batch}
+              "batch": args.batch, "chip_peaks": peaks, "roofline": []}
 
     rng = np.random.default_rng(0)
     t_text, t_mel, b = 64, 128, args.batch
@@ -147,6 +223,21 @@ def main():
     report["pallas_us_per_step"] = dt_pal / args.steps * 1e6
     report["decode_speedup"] = dt_scan / dt_pal
 
+    # roofline: weights are VMEM-resident across the grid, so steady-state
+    # HBM traffic is inputs once + per-step output tiles
+    b_pad = ((args.batch + 7) // 8) * 8
+    t_pad = ((memory.shape[1] + 127) // 128) * 128
+    dec_flops = args.steps * decode_step_flops(cfg, b_pad, t_pad)
+    weight_bytes = sum(int(np.prod(w.shape)) * 4
+                       for w in jax.tree_util.tree_leaves(packed_fp.unpack(packed_fp.flat)))
+    dec_bytes = (
+        weight_bytes
+        + 4 * (memory.size + keys.size + mask.size)
+        + 4 * args.steps * b_pad * (256 + t_pad)
+    )
+    report["roofline"].append(
+        roofline("pallas_fused_decode", dec_flops, dec_bytes, dt_pal, peaks))
+
     # parity on TPU
     @jax.jit
     def both(packed_flat, memory, keys, mask, flat, lengths, rng_key):
@@ -185,6 +276,15 @@ def main():
         + 2 * 1024 * n_freq_pad * 128
     report["pallas_stft_ms_1024frames"] = dt_stft * 1e3
     report["pallas_stft_tflops"] = flops / dt_stft / 1e12
+    stft_bytes = 4 * (
+        1024 * cfg.audio.n_fft            # frames in
+        + 2 * cfg.audio.n_fft * n_freq_pad  # cos/sin bases
+        + n_freq_pad * 128                # mel basis
+        + 1024 * n_freq_pad               # linear out
+        + 1024 * 128                      # mel out
+    )
+    report["roofline"].append(
+        roofline("pallas_stft_1024f", flops, stft_bytes, dt_stft, peaks))
 
     # ---- reference-encoder conv stack -------------------------------------
     refenc = ReferenceEncoder(cfg.model.gst, cfg.model.num_mels)
@@ -201,6 +301,94 @@ def main():
     dt_ref = timed(refenc_fwd, (rfp.flat, mel_in), iters=20,
                    name="ref-encoder conv+gru (8x256)")
     report["ref_encoder_ms_8x256"] = dt_ref * 1e3
+
+    # conv-stack roofline (the GRU tail is tiny and latency-bound)
+    rflops = 0
+    rbytes = 4 * mel_in.size
+    h, w, c_in = 256, cfg.model.num_mels, 1
+    for ch in cfg.model.gst.ref_conv_channels:
+        h, w = (h + 1) // 2, (w + 1) // 2
+        rflops += 2 * 8 * h * w * 9 * c_in * ch
+        rbytes += 4 * (9 * c_in * ch + 8 * h * w * ch)
+        c_in = ch
+    report["roofline"].append(
+        roofline("ref_encoder_conv_stack", rflops, rbytes, dt_ref, peaks))
+
+    # ---- LSA fused decode (config 3: r=1, 31-tap location conv) ------------
+    from gst_tacotron_tpu.config import get_preset as _gp
+    from gst_tacotron_tpu.models.decoder import Decoder
+
+    cfg3 = _gp("gst_r1_location")
+    mem_dim3 = cfg3.model.encoder.output_dim + cfg3.model.gst.style_dim
+    dec3 = Decoder(cfg3.model.decoder, cfg3.model.attention,
+                   cfg3.model.num_mels, mem_dim3)
+    with jax.default_device(cpu):
+        mem3_h = rng.standard_normal((args.batch, t_text, mem_dim3)).astype(
+            np.float32)
+        v3 = dec3.init(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)},
+            jnp.asarray(mem3_h), jnp.asarray(sample["token_lengths"]),
+            jnp.zeros((args.batch, 4, cfg3.model.num_mels)),
+            method=dec3.teacher_forced,
+        )
+    cell3 = jax.device_get(v3)["params"]["cell"]
+    packed3_fp = FlatTree(pack_decoder_weights(
+        cell3, cfg3.model.num_mels, 1,
+        tuple(cfg3.model.decoder.prenet_dims)))
+
+    @jax.jit
+    def keys3(flat, mem):
+        v = {"params": {"cell": FlatTree(cell3).unpack(flat)}}
+        return dec3.apply(v, mem,
+                          method=lambda m, mm: m.cell.precompute_keys(mm))
+
+    cell3_fp = FlatTree(cell3)
+    mem3 = jnp.asarray(mem3_h)
+    k3 = keys3(cell3_fp.flat, mem3)
+    lsa_steps = 1000
+
+    @jax.jit
+    def pallas_decode_lsa(acc, packed_flat, mem, kk, mask):
+        packed = packed3_fp.unpack(packed_flat)
+        mel, stops, aligns = decode_scan_pallas(
+            packed, mem, kk, mask,
+            dec_cfg=cfg3.model.decoder, attn_cfg=cfg3.model.attention,
+            num_mels=cfg3.model.num_mels, steps=lsa_steps,
+            use_dropout=False)
+        return acc * 1e-9 + jnp.sum(mel[:, ::7, 0])
+
+    dt_lsa = timed(pallas_decode_lsa, (packed3_fp.flat, mem3, k3, mask),
+                   iters=5, name=f"pallas LSA decode ({lsa_steps} steps)")
+    report["pallas_lsa_decode_ms"] = dt_lsa * 1e3
+    report["pallas_lsa_us_per_step"] = dt_lsa / lsa_steps * 1e6
+
+    @jax.jit
+    def scan_decode_lsa(acc, flat, mem, lengths, rng_key):
+        v = {"params": {"cell": cell3_fp.unpack(flat)}}
+
+        def fn(mdl, mm, ll):
+            mel, stops, aligns, fl = mdl.decode(
+                mm, ll, max_steps=lsa_steps, deterministic_prenet=True)
+            return jnp.sum(mel[:, ::7, 0])
+        return acc * 1e-9 + dec3.apply(v, mem, lengths, method=fn,
+                                       rngs={"dropout": rng_key})
+
+    dt_scan_lsa = timed(
+        scan_decode_lsa,
+        (cell3_fp.flat, mem3, jnp.asarray(sample["token_lengths"]),
+         jax.random.PRNGKey(0)),
+        iters=3, name=f"xla scan LSA decode ({lsa_steps} steps)")
+    report["xla_scan_lsa_decode_ms"] = dt_scan_lsa * 1e3
+    report["lsa_decode_speedup"] = dt_scan_lsa / dt_lsa
+
+    lsa_flops = lsa_steps * decode_step_flops(cfg3, b_pad, t_pad)
+    w3_bytes = sum(int(np.prod(w.shape)) * 4 for w in
+                   jax.tree_util.tree_leaves(packed3_fp.unpack(packed3_fp.flat)))
+    lsa_bytes = (w3_bytes + 4 * (mem3.size + k3.size + mask.size)
+                 + 4 * lsa_steps * b_pad * (256 + t_pad))
+    report["roofline"].append(
+        roofline("pallas_lsa_decode", lsa_flops, lsa_bytes, dt_lsa, peaks))
 
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)
