@@ -24,9 +24,11 @@ Location-sensitive path (SURVEY.md §7 hard part 3 "per-step conv over
 accumulated alignments without re-materializing history"): the previous and
 cumulative alignments live in VMEM scratch; the 31-tap location conv and the
 location projection are FOLDED into one (k*c, A) tap matrix at pack time
-(both are bias-free linear maps), and applied per step as k*c shifted
-outer-product FMAs on the VPU — no (B, T, k*c) stack materialized, no HBM
-traffic for alignment history.
+(both are bias-free linear maps), then expanded by the wrapper into a
+banded-Toeplitz constant wloc (loc_c*T, T*A) so the whole per-step location
+term is ONE MXU matmul [prev ; cum] @ wloc — no per-tap VPU traffic, no HBM
+traffic for alignment history. When wloc would exceed the VMEM budget
+(long texts), a per-tap `pltpu.roll` fallback runs instead.
 
 Shapes (padded by the wrapper):
   B -> multiple of 8 (sublanes), T_memory -> multiple of 128 (lanes),
@@ -83,7 +85,7 @@ def _decode_kernel(
     memory_ref, keys_ref, mask_ref,
     pw1_ref, pb1_ref, pw2_ref, pb2_ref,            # prenet
     awi_ref, abi_ref, awh_ref, abh_ref,            # attention GRU
-    qproj_ref, vvec_ref, loca_ref,                 # attention score (+loc taps)
+    qproj_ref, vvec_ref, loca_ref, wloc_ref,       # attention score (+loc taps)
     dwi_ref, dbi_ref,                              # decoder input proj
     g1wi_ref, g1bi_ref, g1wh_ref, g1bh_ref,        # decoder GRU 1
     g2wi_ref, g2bi_ref, g2wh_ref, g2bh_ref,        # decoder GRU 2
@@ -94,7 +96,7 @@ def _decode_kernel(
     h_attn, h_d1, h_d2, context, last_frame, prev_align, cum_align,
     *, num_mels: int, r: int, prenet_dims: Tuple[int, int],
     dropout_rate: float, use_dropout: bool,
-    use_lsa: bool, loc_k: int, loc_c: int,
+    use_lsa: bool, loc_k: int, loc_c: int, lsa_matmul: bool,
 ):
     step = pl.program_id(0)
 
@@ -136,24 +138,52 @@ def _decode_kernel(
     # scores: v . tanh(keys + W_q q [+ folded location taps])
     q = jnp.dot(h_attn_new, qproj_ref[...], preferred_element_type=jnp.float32)
     tanh_arg = keys_ref[...] + q[:, None, :]                 # (B, T, A)
-    if use_lsa:
-        # per-step location term: Σ_j feats[b, t+j-pad_l, c] * A[j*c + ch, :]
-        # as loc_k*loc_c shifted outer-product FMAs. Shifted (B, T) slices of
-        # the zero-padded alignment scratch are static lane slices; nothing
-        # larger than (B, T, A) is ever materialized.
-        pad_l = (loc_k - 1) // 2
-        pad_r = loc_k // 2
+    if use_lsa and lsa_matmul:
+        # per-step location term: loc[b,t,:] = Σ_{j,c} feats[b, t+j-pad_l, c]
+        # * A[j*loc_c + c, :]. The whole term is ONE MXU matmul against a
+        # banded-Toeplitz constant built by the wrapper:
+        # wloc[c*T + u, t*A + a] = A[(u-t+pad_l)*loc_c + c, a] (0 off-band),
+        # so loc2d = [prev ; cum] @ wloc, then a minor-dim-split reshape
+        # (B, T*A) -> (B, T, A) (verified supported + order-exact on Mosaic).
+        # The per-tap VPU variants (62 shifted outer-product FMAs, or a
+        # 62-piece lane concat feeding a (B*T, 62) matmul) both measured
+        # ~50 us/step at config 3 — the VPU tap traffic, not the math, was
+        # the cost; this form is pure MXU.
         bsz, t_len = prev_align.shape
-        zl = jnp.zeros((bsz, pad_l), jnp.float32)
-        zr = jnp.zeros((bsz, pad_r), jnp.float32)
-        feats = [jnp.concatenate([zl, prev_align[...], zr], axis=1)]
+        a_dim = keys_ref.shape[-1]
+        feat = prev_align[...]
         if loc_c == 2:
-            feats.append(jnp.concatenate([zl, cum_align[...], zr], axis=1))
+            feat = jnp.concatenate([feat, cum_align[...]], axis=1)
+        loc2d = jnp.dot(feat, wloc_ref[...],
+                        preferred_element_type=jnp.float32)   # (B, T*A)
+        tanh_arg = tanh_arg + loc2d.reshape(bsz, t_len, a_dim)
+    elif use_lsa:
+        # Fallback when wloc (O(loc_c * T^2 * A) bytes) would not fit VMEM:
+        # shifted (B, T) taps via cyclic `pltpu.roll` (zero-offset layout;
+        # lane-offset slices of a padded concat hit Mosaic "Unsupported
+        # reshape" on the (B,T,1) rank-expand) with an iota mask zeroing the
+        # wrapped edge, stacked into ONE (B*T, k*c) matrix and contracted
+        # against the folded (k*c, A) tap matrix on the MXU.
+        pad_l = (loc_k - 1) // 2
+        bsz, t_len = prev_align.shape
+        t_cols = jax.lax.broadcasted_iota(
+            jnp.int32, prev_align.shape, dimension=1)
+        feats = [prev_align[...]]
+        if loc_c == 2:
+            feats.append(cum_align[...])
         loca = loca_ref[...]                                 # (k*c, A)
+        taps = []
         for j in range(loc_k):
+            shift = (pad_l - j) % t_len   # tap[b,t] = feat[b, t + j - pad_l]
+            src = t_cols + (j - pad_l)
+            valid = ((src >= 0) & (src < t_len)).astype(jnp.float32)
             for c in range(loc_c):
-                tap = feats[c][:, j : j + t_len]             # (B, T)
-                tanh_arg += tap[:, :, None] * loca[j * loc_c + c][None, None, :]
+                taps.append(
+                    (pltpu.roll(feats[c], shift, axis=1) * valid)[:, :, None])
+        taps = jnp.concatenate(taps, axis=2)                 # (B, T, k*c)
+        loc = jnp.dot(taps.reshape(bsz * t_len, loc_k * loc_c), loca,
+                      preferred_element_type=jnp.float32)    # MXU
+        tanh_arg = tanh_arg + loc.reshape(bsz, t_len, loca.shape[1])
     tanh_arg = jnp.tanh(tanh_arg)
     scores = jnp.sum(tanh_arg * vvec_ref[...][None, None, :], axis=-1)  # (B, T)
     scores = jnp.where(mask_ref[...] > 0.5, scores, -1e9)
@@ -328,12 +358,38 @@ def decode_scan_pallas(
 
     weights = packed_weights
 
+    # LSA-as-matmul: fold the location conv+projection into a banded-Toeplitz
+    # constant wloc[c*T + u, t*A + a] = loca[(u-t+pad_l)*loc_c + c, a] so the
+    # per-step location term is one MXU matmul. wloc is O(loc_c * T^2 * A)
+    # bytes and VMEM-resident across the grid; fall back to the per-tap roll
+    # path when it would crowd out the weights (>48 MB).
+    wloc = jnp.zeros((1, 1), jnp.float32)
+    lsa_matmul = False
+    if use_lsa:
+        loca = jnp.asarray(weights["loca"], jnp.float32)      # (k*c, A)
+        a_dim = loca.shape[1]
+        wloc_bytes = 4 * loc_c * t_pad * t_pad * a_dim
+        lsa_matmul = wloc_bytes <= 48 * 1024 * 1024
+        if lsa_matmul:
+            pad_l = (loc_k - 1) // 2
+            u = jnp.arange(t_pad)[:, None]
+            t_idx = jnp.arange(t_pad)[None, :]
+            j_idx = u - t_idx + pad_l                         # (T, T)
+            band = (j_idx >= 0) & (j_idx < loc_k)
+            jc = jnp.clip(j_idx, 0, loc_k - 1)
+            per_c = []
+            for c in range(loc_c):
+                rows = loca[jc * loc_c + c]                   # (T, T, A)
+                per_c.append(rows * band[:, :, None])
+            wloc = jnp.concatenate(per_c, axis=0).reshape(
+                loc_c * t_pad, t_pad * a_dim)
+
     out_dim = 2 * LANE
     kernel = functools.partial(
         _decode_kernel,
         num_mels=num_mels, r=r, prenet_dims=tuple(dec_cfg.prenet_dims),
         dropout_rate=dec_cfg.prenet_dropout, use_dropout=use_dropout,
-        use_lsa=use_lsa, loc_k=loc_k, loc_c=loc_c,
+        use_lsa=use_lsa, loc_k=loc_k, loc_c=loc_c, lsa_matmul=lsa_matmul,
     )
 
     # index maps take (grid_idx, *scalar_prefetch_refs) under
@@ -351,7 +407,7 @@ def decode_scan_pallas(
         const(*w["awi"].shape), const(*w["abi"].shape),
         const(*w["awh"].shape), const(*w["abh"].shape),
         const(*w["qproj"].shape), const(*w["vvec"].shape),
-        const(*w["loca"].shape),
+        const(*w["loca"].shape), const(*wloc.shape),
         const(*w["dwi"].shape), const(*w["dbi"].shape),
         const(*w["g1wi"].shape), const(*w["g1bi"].shape),
         const(*w["g1wh"].shape), const(*w["g1bh"].shape),
@@ -363,7 +419,7 @@ def decode_scan_pallas(
         memory, keys, mask_f,
         w["pw1"], w["pb1"], w["pw2"], w["pb2"],
         w["awi"], w["abi"], w["awh"], w["abh"],
-        w["qproj"], w["vvec"], w["loca"], w["dwi"], w["dbi"],
+        w["qproj"], w["vvec"], w["loca"], wloc, w["dwi"], w["dbi"],
         w["g1wi"], w["g1bi"], w["g1wh"], w["g1bh"],
         w["g2wi"], w["g2bi"], w["g2wh"], w["g2bh"],
         w["fw"], w["fb"],
@@ -399,6 +455,12 @@ def decode_scan_pallas(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            # The LSA tap accumulation is reassociated by Mosaic into a tree
+            # with many live (B, T, A) temporaries; the default 16 MB scoped
+            # stack OOMs at config-3 shapes (observed 29.3 MB). Weights +
+            # operands only use ~12 MB of the 128 MB VMEM, so give the
+            # allocator headroom instead of serializing the accumulation.
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(jnp.asarray([seed], jnp.int32), *operands)

@@ -395,6 +395,9 @@ def main(argv=None):
     p.add_argument("--vocoder-workdir",
                    help="vocoder_train workdir with vocoder_ckpt/ "
                         "(wavernn; defaults to --workdir)")
+    p.add_argument("--profile",
+                   help="capture a device trace of the synthesis call into "
+                        "this directory (TensorBoard/Perfetto)")
     p.add_argument("overrides", nargs="*")
     args = p.parse_args(argv)
 
@@ -456,8 +459,11 @@ def main(argv=None):
 
         ref_wavs = [load_wav(w, cfg.audio.sample_rate)
                     for w in args.reference_wavs]
-    out = synth(args.texts, reference_wavs=ref_wavs,
-                speaker_ids=args.speaker_ids, seed=args.seed)
+    from .utils.profiling import profile_trace
+
+    with profile_trace(args.profile, enabled=args.profile is not None):
+        out = synth(args.texts, reference_wavs=ref_wavs,
+                    speaker_ids=args.speaker_ids, seed=args.seed)
     paths = synth.save_outputs(out, args.out)
     for pth, d in zip([x for x in paths if x.endswith(".wav")],
                       out["diagonality"]):

@@ -33,6 +33,7 @@ from .metrics import MetricLogger
 from .models import GSTTacotron
 from .parallel import make_mesh, param_shardings, shard_batch
 from .text import NUM_SYMBOLS
+from .utils.profiling import StepWindowProfiler
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
@@ -307,7 +308,7 @@ class Trainer:
         return batch
 
     def train(self, total_steps: Optional[int] = None,
-              eval_fn=None) -> TrainState:
+              eval_fn=None, profile_dir: Optional[str] = None) -> TrainState:
         cfg = self.cfg
         total = total_steps or cfg.train.total_steps
         start_step = int(self.state.step)
@@ -315,7 +316,9 @@ class Trainer:
         it = self.loader.stream(start_batch=start_step)
         t0 = time.time()
         window = 0
+        profiler = StepWindowProfiler(profile_dir)
         for _ in range(start_step, total):
+            profiler.tick()
             batch = self._device_batch(next(it))
             self.state, metrics = self.step_fn(self.state, batch)
             window += 1
@@ -333,6 +336,7 @@ class Trainer:
                     self.run_eval(step)
                 if eval_fn is not None:
                     eval_fn(self, step)
+        profiler.stop()
         self.ckpt.save(int(self.state.step), jax.device_get(self.state))
         self.ckpt.wait()
         return self.state
@@ -369,6 +373,9 @@ def main(argv=None):
     p.add_argument("--workdir", required=True)
     p.add_argument("--steps", type=int)
     p.add_argument("--model-parallelism", type=int, default=1)
+    p.add_argument("--profile",
+                   help="capture a device trace of ~20 post-compile train "
+                        "steps into this directory (TensorBoard/Perfetto)")
     p.add_argument("overrides", nargs="*", help="dotted config overrides k=v")
     args = p.parse_args(argv)
 
@@ -385,7 +392,8 @@ def main(argv=None):
 
     trainer = Trainer(cfg, args.patterns, args.workdir, mesh)
     trainer.restore_if_available()
-    trainer.train(args.steps, eval_fn=default_eval_hook)
+    trainer.train(args.steps, eval_fn=default_eval_hook,
+                  profile_dir=args.profile)
 
 
 if __name__ == "__main__":

@@ -30,6 +30,8 @@ CHIP_PEAKS = {
     "v6e": (918.0, 1640.0),
     "v6": (918.0, 1640.0),
     "v5e": (197.0, 819.0),
+    "v5 lite": (197.0, 819.0),   # PJRT reports v5e as "TPU v5 lite"
+    "v5litepod": (197.0, 819.0),
     "v5p": (459.0, 2765.0),
     "v4": (275.0, 1228.0),
 }
@@ -86,8 +88,10 @@ def decode_step_flops(cfg, batch, t_mem) -> int:
     mm += d.attention_rnn_dim * a.dim                        # query proj
     mm += t_mem * a.dim                                      # score reduce
     if a.kind == "location_sensitive":
+        # banded-Toeplitz location matmul [prev;cum] @ wloc: the MXU executes
+        # the full (loc_c*T) x (T*A) contraction (band zeros included)
         c = 2 if a.cumulative else 1
-        mm += t_mem * a.location_kernel_size * c * a.dim     # folded loc taps
+        mm += c * t_mem * t_mem * a.dim
     mm += t_mem * enc                                        # context matvec
     dec_in = d.attention_rnn_dim + enc
     mm += dec_in * d.decoder_rnn_dim                         # input proj
