@@ -219,6 +219,14 @@ class DataConfig:
     # Deterministic held-out split: an entry goes to "val" iff
     # md5(entry id) mod 1000 < val_fraction * 1000 (stable across runs/hosts).
     val_fraction: float = 0.0
+    # Wav transport (BASELINE north star "host loader feeding on-TPU feature
+    # extraction"): ship int16 preemphasized wav + one packed int32 sidecar
+    # per batch and compute mel/linear INSIDE the jitted train step, instead
+    # of shipping f32 feature tensors. ~8.5x less host->device traffic —
+    # the measured train-loop bottleneck on this runtime is the ~42 MB/s
+    # host->device tunnel, not compute (see CLAUDE.md timing notes).
+    # Requires patterns generated with --store-wav.
+    wav_transport: bool = False
 
 
 @dataclass(frozen=True)

@@ -13,6 +13,11 @@ Batch dict fields (reference Get_Pattern surface, SURVEY.md §2.1):
   mel_lengths   (B,) int32  (also r-aligned, <= T_bucket)
   linear        (B, T_bucket, num_freq) f32
   speaker_ids   (B,) int32
+
+With cfg.wav_transport, batches are instead {"wav" int16 (B, L_sig),
+"ints" int32 (B, T_bucket + 4)} — preemphasized/center-padded waveforms and
+a packed sidecar; mel/linear are computed on device inside the train step
+(see `train._materialize_features`).
 """
 
 from __future__ import annotations
@@ -27,9 +32,15 @@ from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from ..config import DataConfig
+from ..config import AudioConfig, DataConfig
 
 Batch = Dict[str, np.ndarray]
+
+# Wav wire dtype: float16, not int16 — dB conversion amplifies ABSOLUTE
+# quantization error in near-silent bins (measured 0.16 max err on the
+# normalized linear spectrogram with int16), while float16's ~1e-3 RELATIVE
+# error stays ~1e-4 after dB normalization at every level. Same 2 bytes/sample.
+WAV_WIRE_DTYPE = np.float16
 
 
 @dataclass
@@ -63,16 +74,19 @@ class PatternDataset:
     def __len__(self) -> int:
         return len(self.entries)
 
-    def load(self, idx: int) -> Dict[str, np.ndarray]:
+    def load(self, idx: int, wav_only: bool = False) -> Dict[str, np.ndarray]:
+        """wav_only skips decompressing the (large) mel/linear members — the
+        wav-transport loader never reads them."""
         entry = self.entries[idx]
         with np.load(os.path.join(self.pattern_dir, entry["file"]),
                      allow_pickle=False) as z:
             out = {
                 "tokens": z["tokens"],
-                "mel": z["mel"],
-                "linear": z["linear"],
                 "speaker_id": z["speaker_id"],
             }
+            if not wav_only:
+                out["mel"] = z["mel"]
+                out["linear"] = z["linear"]
             if "wav" in z:
                 out["wav"] = z["wav"]
             return out
@@ -93,9 +107,12 @@ class BucketedLoader:
         seed: int = 0,
         drop_remainder: bool = True,
         split: str = "train",
+        audio_cfg: Optional[AudioConfig] = None,
     ):
         """split: "train" | "val" | "all" — entries are assigned by
-        `entry_split` using cfg.val_fraction (deterministic holdout)."""
+        `entry_split` using cfg.val_fraction (deterministic holdout).
+        audio_cfg is required when cfg.wav_transport is on (the wav-mode
+        assembler needs hop/n_fft/preemphasis for host prep)."""
         self.dataset = dataset
         self.cfg = cfg
         self.r = reduction_factor
@@ -105,6 +122,18 @@ class BucketedLoader:
         self.seed = seed
         self.drop_remainder = drop_remainder
         self.split = split
+        self.audio = audio_cfg
+        if cfg.wav_transport:
+            if audio_cfg is None:
+                raise ValueError("wav_transport requires audio_cfg")
+            missing = [e["id"] for e in dataset.entries
+                       if not e.get("has_wav")]
+            if missing:
+                raise ValueError(
+                    f"data.wav_transport=True but {len(missing)} pattern(s) "
+                    "were generated without --store-wav (e.g. "
+                    f"{missing[:3]}); regenerate with --store-wav"
+                )
 
         self.buckets = [
             BucketSpec(t, _align_up(f, self.r)) for t, f in cfg.buckets
@@ -142,6 +171,9 @@ class BucketedLoader:
 
     def _assemble(self, indices: Sequence[int], spec: BucketSpec) -> Batch:
         n = len(indices)
+        if self.cfg.wav_transport:
+            items = [self.dataset.load(idx, wav_only=True) for idx in indices]
+            return self._assemble_wav(items, spec, n)
         items = [self.dataset.load(idx) for idx in indices]
         num_mels = items[0]["mel"].shape[1]
         num_freq = items[0]["linear"].shape[1]
@@ -172,6 +204,41 @@ class BucketedLoader:
             "linear": linear,
             "speaker_ids": speaker_ids,
         }
+
+    def _assemble_wav(self, items: Sequence[Dict[str, np.ndarray]],
+                      spec: BucketSpec, n: int) -> Batch:
+        """Wav-transport batch: {"wav" f16 (B, L), "ints" int32 (B, T+4)}.
+
+        Host does only the O(S) per-utterance prep that must match the numpy
+        oracle exactly — preemphasis IIR + reflect center pad (the same
+        convention as dsp.device_features.DeviceFeatureExtractor._prep) —
+        then zero-pads to the bucket signal length and halves to float16 for
+        the wire. The int32 sidecar packs tokens plus the four per-utterance
+        scalars into ONE buffer: row = [tokens(T_bucket), token_len,
+        mel_len(r-aligned), true_frames, speaker_id]. Two argument buffers
+        total keeps the per-buffer dispatch overhead of this runtime off the
+        hot path; `train._materialize_features` unpacks and runs the
+        window/DFT/mel/dB FLOPs on device.
+        """
+        from ..dsp import ref as dsp_ref
+
+        hop, n_fft = self.audio.hop_length, self.audio.n_fft
+        pad = n_fft // 2
+        sig_len = (spec.max_frames - 1) * hop + n_fft
+        wav = np.zeros((n, sig_len), WAV_WIRE_DTYPE)
+        ints = np.zeros((n, spec.max_text + 4), np.int32)
+        for j, item in enumerate(items):
+            t = item["tokens"][: spec.max_text]
+            ints[j, : len(t)] = t
+            w = np.asarray(item["wav"], np.float64)
+            frames = min(1 + len(w) // hop, spec.max_frames)
+            pre = dsp_ref.preemphasis(w, self.audio.preemphasis)
+            sig = np.pad(pre, (pad, pad), mode="reflect")[:sig_len]
+            wav[j, : len(sig)] = sig.astype(WAV_WIRE_DTYPE)
+            mlen = min(_align_up(frames, self.r), spec.max_frames)
+            ints[j, spec.max_text:] = (
+                len(t), mlen, frames, int(item["speaker_id"]))
+        return {"wav": wav, "ints": ints}
 
     # -- epoch plan ---------------------------------------------------------
 

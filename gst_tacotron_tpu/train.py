@@ -117,6 +117,39 @@ def init_state(cfg: Config, rng: jax.Array, sample_batch: Dict[str, np.ndarray]
     return model, state
 
 
+def _materialize_features(cfg: Config, batch: Dict[str, Any]
+                          ) -> Dict[str, Any]:
+    """Wav-transport batches -> standard feature batches, on device.
+
+    Unpacks the loader's {"wav" f16, "ints" int32} wire format and runs
+    the window/DFT/mel/dB pipeline (matmul DFT on the MXU) inside the train
+    step — the north-star "host loader feeding on-TPU feature extraction".
+    Frames past each utterance's true length are zeroed so the result
+    matches the offline zero-padded feature batches (BatchNorm in the GST
+    reference encoder sees the padded region).
+    """
+    if "wav" not in batch:
+        return batch
+    from .dsp import JaxDSP
+
+    dsp = JaxDSP(cfg.audio)
+    ints = batch["ints"]
+    tmax = ints.shape[1] - 4
+    wav = batch["wav"].astype(jnp.float32)
+    mel, lin = dsp.features_from_frames(dsp.frame_precentered(wav))
+    true_frames = ints[:, tmax + 2]
+    fmask = (jnp.arange(mel.shape[1])[None, :]
+             < true_frames[:, None]).astype(mel.dtype)[:, :, None]
+    return {
+        "tokens": ints[:, :tmax],
+        "token_lengths": ints[:, tmax],
+        "mel_lengths": ints[:, tmax + 1],
+        "speaker_ids": ints[:, tmax + 3],
+        "mel": mel * fmask,
+        "linear": lin * fmask,
+    }
+
+
 def _model_kwargs(cfg: Config, batch: Dict[str, Any]) -> Dict[str, Any]:
     kwargs: Dict[str, Any] = {}
     if cfg.model.gst.enabled:
@@ -136,6 +169,7 @@ def train_step(model: GSTTacotron, tx: optax.GradientTransformation, cfg: Config
                state: TrainState, batch: Dict[str, jnp.ndarray]
                ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     step_rng = jax.random.fold_in(state.rng, state.step)
+    batch = _materialize_features(cfg, batch)
 
     def loss_fn(params):
         variables = {"params": params, "batch_stats": state.batch_stats}
@@ -185,6 +219,7 @@ def make_train_step(model: GSTTacotron, tx: optax.GradientTransformation,
 def eval_step(model: GSTTacotron, cfg: Config, state: TrainState,
               batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
     variables = {"params": state.params, "batch_stats": state.batch_stats}
+    batch = _materialize_features(cfg, batch)
     kwargs = _model_kwargs(cfg, batch)
     outputs = model.apply(
         variables,
@@ -235,7 +270,7 @@ class Trainer:
         self.loader = BucketedLoader(
             self.dataset, cfg.data, cfg.model.decoder.reduction_factor,
             shard_index=jax.process_index(), num_shards=num_shards,
-            seed=cfg.train.seed,
+            seed=cfg.train.seed, audio_cfg=cfg.audio,
         )
         # Held-out eval loader (SURVEY.md §4 — the reference has no eval set;
         # the rebuild runs teacher-forced losses on a deterministic holdout).
@@ -245,6 +280,7 @@ class Trainer:
                 self.dataset, cfg.data, cfg.model.decoder.reduction_factor,
                 shard_index=jax.process_index(), num_shards=num_shards,
                 seed=cfg.train.seed, split="val", drop_remainder=False,
+                audio_cfg=cfg.audio,
             )
             if any(val.bucket_members):
                 self.val_loader = val
@@ -258,6 +294,23 @@ class Trainer:
                 f"{self.loader.batch_size}); check bucket bounds vs corpus "
                 "lengths"
             )
+        if cfg.data.wav_transport:
+            # model.init only needs a correctly-shaped feature batch; build
+            # one host-side from the wav batch's static shapes (zero mels).
+            ints = sample["ints"]
+            tmax = ints.shape[1] - 4
+            frames = 1 + ((sample["wav"].shape[1] - cfg.audio.n_fft)
+                          // cfg.audio.hop_length)
+            b = ints.shape[0]
+            sample = {
+                "tokens": ints[:, :tmax],
+                "token_lengths": ints[:, tmax],
+                "mel_lengths": ints[:, tmax + 1],
+                "speaker_ids": ints[:, tmax + 3],
+                "mel": np.zeros((b, frames, cfg.audio.num_mels), np.float32),
+                "linear": np.zeros((b, frames, cfg.model.num_freq),
+                                   np.float32),
+            }
         self.model, self.state = init_state(
             cfg, jax.random.PRNGKey(cfg.train.seed), sample
         )
@@ -317,12 +370,20 @@ class Trainer:
         t0 = time.time()
         window = 0
         profiler = StepWindowProfiler(profile_dir)
+        # step is tracked HOST-side: `int(self.state.step)` would block on a
+        # device->host fetch of a value that data-depends on the whole step,
+        # serializing the loop on this runtime's ~60-80 ms round trip. The
+        # async dispatch below means the next batch's host->device upload
+        # overlaps the current step's device execution; the loop only syncs
+        # at log points (which also defeats the runtime's lazy execution —
+        # unfetched chains may never run, CLAUDE.md #11).
+        step = start_step
         for _ in range(start_step, total):
             profiler.tick()
             batch = self._device_batch(next(it))
             self.state, metrics = self.step_fn(self.state, batch)
             window += 1
-            step = int(self.state.step)
+            step += 1
             if step % cfg.train.log_every == 0:
                 dt = time.time() - t0
                 host_metrics = {k: float(v) for k, v in metrics.items()}
