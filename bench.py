@@ -359,6 +359,99 @@ def bench_reference_style(cfg, model, state, sample, max_steps=40):
     return per_step, gl_per_frame
 
 
+def bench_train(transport: str, steps: int = 15, batch: int = 8):
+    """Train-step throughput on the real chip, per batch transport.
+
+    Measures the donated-state train step fed FRESH host batches each
+    iteration — the real training pattern: the loader hands numpy arrays, so
+    each step pays host->device upload plus per-argument-buffer dispatch
+    (the dominant costs on this runtime, CLAUDE.md #10). transport
+    "features": the standard 6-tensor f32 feature batch; "wav": the 2-buffer
+    f16+int32 wire format with on-device feature extraction
+    (train._materialize_features).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from gst_tacotron_tpu.config import apply_overrides, get_preset
+    from gst_tacotron_tpu.train import (
+        init_state, make_optimizer, make_train_step,
+    )
+
+    cfg = apply_overrides(get_preset("gst_lj"), {
+        "data.wav_transport": transport == "wav",
+        "data.batch_size": batch,
+    })
+    rng = np.random.default_rng(0)
+    t_text, t_mel = 64, 400
+    a = cfg.audio
+    feat = {
+        "tokens": rng.integers(2, 40, (batch, t_text)).astype(np.int32),
+        "token_lengths": np.full((batch,), t_text, np.int32),
+        "mel": rng.random((batch, t_mel, cfg.model.num_mels), np.float32),
+        "mel_lengths": np.full((batch,), t_mel, np.int32),
+        "linear": rng.random((batch, t_mel, cfg.model.num_freq), np.float32),
+        "speaker_ids": np.zeros((batch,), np.int32),
+    }
+    if transport == "wav":
+        sig_len = (t_mel - 1) * a.hop_length + a.n_fft
+        ints = np.zeros((batch, t_text + 4), np.int32)
+        ints[:, :t_text] = feat["tokens"]
+        ints[:, t_text] = t_text
+        ints[:, t_text + 1] = t_mel
+        ints[:, t_text + 2] = t_mel
+        wire = {
+            "wav": (rng.standard_normal((batch, sig_len)) * 0.05
+                    ).astype(np.float16),
+            "ints": ints,
+        }
+    else:
+        wire = feat
+    bytes_per_batch = sum(v.nbytes for v in wire.values())
+
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    if cpu is not None:
+        with jax.default_device(cpu):
+            model, state = init_state(cfg, jax.random.PRNGKey(0), feat)
+    else:
+        model, state = init_state(cfg, jax.random.PRNGKey(0), feat)
+    tx = make_optimizer(cfg.optimizer)
+    step_fn = make_train_step(model, tx, cfg)  # donated state chain
+    state = jax.device_put(state)
+    t0 = time.perf_counter()
+    state, metrics = step_fn(state, wire)
+    _ = float(metrics["loss"])  # forces compile + first step
+    log(f"train[{transport}] compiled in {time.perf_counter() - t0:.1f}s")
+
+    # Fresh host arrays each step (reusing resident device batches would skip
+    # the upload being measured); one element perturbed per copy so no cache
+    # layer can serve a repeat (program, inputs) pair.
+    batches = []
+    for i in range(steps):
+        b = {k: v.copy() for k, v in wire.items()}
+        (b["wav"] if "wav" in b else b["mel"])[0, 0] = i * 1e-3
+        batches.append(b)
+    t0 = time.perf_counter()
+    for b in batches:
+        state, metrics = step_fn(state, b)
+    loss = float(metrics["loss"])  # barrier: every step feeds the next
+    dt = (time.perf_counter() - t0) / steps
+    log(f"train[{transport}]: {dt*1e3:.1f} ms/step, "
+        f"{bytes_per_batch/1e6:.2f} MB/batch wire, loss {loss:.4f}")
+    return {
+        "transport": transport,
+        "ms_per_step": round(dt * 1e3, 2),
+        "steps_per_sec": round(1.0 / dt, 3),
+        "wire_mb_per_batch": round(bytes_per_batch / 1e6, 3),
+        "arg_buffers": len(wire),
+        "batch": batch,
+        "t_mel_frames": t_mel,
+    }
+
+
 def bench_scaling_child(n_devices: int, steps: int = 10) -> None:
     """Child process: sharded GST train-step throughput on an n-device fake
     CPU mesh, fixed per-device batch (weak scaling). Prints one JSON line."""
@@ -445,10 +538,30 @@ def main():
                    help="also measure the 1/2/4/8-device weak-scaling curve "
                         "on a fake CPU mesh (written to --details)")
     p.add_argument("--scaling-child", type=int, help=argparse.SUPPRESS)
+    p.add_argument("--train-bench", action="store_true",
+                   help="train-step throughput, feature- vs wav-transport "
+                        "(prints one JSON line; exclusive mode)")
     args = p.parse_args()
 
     if args.scaling_child:
         bench_scaling_child(args.scaling_child)
+        return
+
+    if args.train_bench:
+        _enable_compile_cache()
+        rows = [bench_train("features"), bench_train("wav")]
+        out = {
+            "metric": "train_ms_per_step",
+            "value": rows[1]["ms_per_step"],
+            "unit": "ms/step (wav transport)",
+            "vs_baseline": round(
+                rows[0]["ms_per_step"] / rows[1]["ms_per_step"], 2),
+            "rows": rows,
+        }
+        if args.details:
+            with open(args.details, "w") as f:
+                json.dump(out, f, indent=2)
+        print(json.dumps(out))
         return
 
     overrides = None

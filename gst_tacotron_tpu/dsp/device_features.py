@@ -54,17 +54,17 @@ class DeviceFeatureExtractor:
     def _compute(self, prepped: jnp.ndarray
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """(B, L) preemphasized+center-padded+zero-bucketed -> (mel, linear)."""
-        frames = self._jdsp.frame_precentered(prepped)  # (B, T, n_fft)
         if self.use_pallas:
             from ..ops.stft_pallas import stft_features_pallas
 
+            frames = self._jdsp.frame_precentered(prepped)  # (B, T, n_fft)
             b, t, n = frames.shape
             mel, lin = stft_features_pallas(
                 frames.reshape(b * t, n), self.cfg, interpret=self.interpret
             )
             return (mel.reshape(b, t, self.cfg.num_mels),
                     lin.reshape(b, t, self.cfg.num_freq))
-        return self._jdsp.features_from_frames(frames)
+        return self._jdsp.features_precentered(prepped)
 
     # -- host prep ----------------------------------------------------------
 

@@ -136,7 +136,7 @@ def _materialize_features(cfg: Config, batch: Dict[str, Any]
     ints = batch["ints"]
     tmax = ints.shape[1] - 4
     wav = batch["wav"].astype(jnp.float32)
-    mel, lin = dsp.features_from_frames(dsp.frame_precentered(wav))
+    mel, lin = dsp.features_precentered(wav)
     true_frames = ints[:, tmax + 2]
     fmask = (jnp.arange(mel.shape[1])[None, :]
              < true_frames[:, None]).astype(mel.dtype)[:, :, None]

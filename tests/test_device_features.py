@@ -31,8 +31,8 @@ def test_batched_extraction_matches_oracle(rng, use_pallas):
         ref_lin = dsp_ref.spectrogram(wav, CFG)
         assert mel.shape == ref_mel.shape
         assert lin.shape == ref_lin.shape
-        np.testing.assert_allclose(mel, ref_mel, atol=2e-4)
-        np.testing.assert_allclose(lin, ref_lin, atol=2e-4)
+        np.testing.assert_allclose(mel, ref_mel, atol=5e-4)
+        np.testing.assert_allclose(lin, ref_lin, atol=5e-4)
 
 
 def test_pattern_generation_device_matches_host(rng, tmp_path):
@@ -49,8 +49,8 @@ def test_pattern_generation_device_matches_host(rng, tmp_path):
     for i in range(len(ds1)):
         a, b = ds1.load(i), ds2.load(i)
         np.testing.assert_array_equal(a["tokens"], b["tokens"])
-        np.testing.assert_allclose(a["mel"], b["mel"], atol=2e-4)
-        np.testing.assert_allclose(a["linear"], b["linear"], atol=2e-4)
+        np.testing.assert_allclose(a["mel"], b["mel"], atol=5e-4)
+        np.testing.assert_allclose(a["linear"], b["linear"], atol=5e-4)
 
 
 def test_extraction_order_independent(rng):

@@ -160,3 +160,21 @@ def test_trim_silence(rng):
     trimmed = dref.trim_silence(padded, CFG)
     assert len(trimmed) < len(padded)
     assert len(trimmed) >= len(sig) - 4096
+
+
+def test_conv_fused_stft_matches_frames_path(rng):
+    """features_precentered (conv-fused framing+DFT) must match the
+    materialize-frames-then-matmul formulation it replaced."""
+    import jax.numpy as jnp
+
+    for cfg in (SMALL, AudioConfig()):
+        dsp = JaxDSP(cfg)
+        b = 3
+        sig = (49 - 1) * cfg.hop_length + cfg.n_fft + 17  # ragged tail
+        wav = rng.standard_normal((b, sig)).astype(np.float32) * 0.1
+        mel_a, lin_a = dsp.features_precentered(jnp.asarray(wav))
+        mel_b, lin_b = dsp.features_from_frames(dsp.frame_precentered(
+            jnp.asarray(wav)))
+        assert mel_a.shape == mel_b.shape and lin_a.shape == lin_b.shape
+        np.testing.assert_allclose(mel_a, mel_b, atol=5e-4)
+        np.testing.assert_allclose(lin_a, lin_b, atol=5e-4)
