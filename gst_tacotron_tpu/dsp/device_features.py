@@ -44,7 +44,13 @@ class DeviceFeatureExtractor:
         self.frame_bucket = frame_bucket
         self.interpret = interpret
         if use_pallas is None:
-            use_pallas = jax.default_backend() not in ("cpu",)
+            # The conv-fused jnp path (JaxDSP.features_precentered) beats the
+            # frame-then-Pallas formulation on the chip (0.97s vs 1.64s per
+            # 16-utterance extract, identical output): the Pallas kernel's
+            # win on the DFT is smaller than the cost of materializing the
+            # (B*T, n_fft) frames it consumes. Keep the kernel selectable
+            # for the microbench/tests.
+            use_pallas = False
         self.use_pallas = use_pallas
         self._jdsp = JaxDSP(cfg)
         self._jit = jax.jit(self._compute)
