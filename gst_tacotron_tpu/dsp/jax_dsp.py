@@ -90,6 +90,17 @@ class JaxDSP:
               * self.window[:, None])                        # (n_fft, 2F)
         self.dft_conv_kernel = np.ascontiguousarray(
             wd.reshape(k, cfg.hop_length, 2 * n_freq)).astype(np.float32)
+        # Inverse direction, same idea run backwards: windowed inverse DFT +
+        # overlap-add is a width-k conv of the (B, T, 2F) real-pair spectrum
+        # against k (2F, hop) blocks of the windowed iDFT matrix, with
+        # (k-1, k-1) time padding — out chunk c = sum_j ri[c-j] @ W_j. Kills
+        # both the (B, T, n_fft) frames intermediate and the k shifted
+        # .at[].add passes of the explicit overlap-add.
+        iw = (np.concatenate([self.idft_cos, self.idft_sin], axis=0)
+              * self.window[None, :])                        # (2F, n_fft)
+        self.idft_conv_kernel = np.ascontiguousarray(np.stack(
+            [iw[:, (k - 1 - j) * cfg.hop_length:(k - j) * cfg.hop_length]
+             for j in range(k)], axis=0)).astype(np.float32)  # (k, 2F, hop)
 
     # -- framing ------------------------------------------------------------
     #
@@ -253,14 +264,32 @@ class JaxDSP:
         out = out / jnp.maximum(norm, 1e-10)
         return out[:, cfg.n_fft // 2 : total - cfg.n_fft // 2]
 
+    def _win_norm(self, num_frames: int) -> np.ndarray:
+        """Overlap-added window-square normalizer as a trace-time numpy
+        constant (num_frames is static under jit)."""
+        cfg = self.cfg
+        total = cfg.n_fft + cfg.hop_length * (num_frames - 1)
+        norm = np.zeros(total, np.float32)
+        winsq = (self.window * self.window).astype(np.float32)
+        for t in range(num_frames):
+            norm[t * cfg.hop_length: t * cfg.hop_length + cfg.n_fft] += winsq
+        return np.maximum(norm, 1e-10)[None, :]
+
     def istft_ri(self, re: jnp.ndarray, im: jnp.ndarray) -> jnp.ndarray:
-        """Real-pair (B, T, num_freq) -> (B, S). Inverse DFT as matmul (the
-        TPU backend has no irfft — see class docstring)."""
-        frames = (
-            jnp.einsum("btf,fn->btn", re, self.idft_cos)
-            + jnp.einsum("btf,fn->btn", im, self.idft_sin)
-        )
-        return self._istft_frames(frames)
+        """Real-pair (B, T, num_freq) -> (B, S). Conv-fused inverse DFT +
+        overlap-add (the TPU backend has no irfft — see class docstring)."""
+        cfg = self.cfg
+        k = cfg.n_fft // cfg.hop_length
+        num_frames = re.shape[1]
+        total = cfg.n_fft + cfg.hop_length * (num_frames - 1)
+        ri = jnp.concatenate([re, im], axis=-1)              # (B, T, 2F)
+        chunks = jax.lax.conv_general_dilated(
+            ri, self.idft_conv_kernel,
+            window_strides=(1,), padding=[(k - 1, k - 1)],
+            dimension_numbers=("NWC", "WIO", "NWC"))         # (B, T+k-1, hop)
+        out = chunks.reshape(ri.shape[0], total)
+        out = out / self._win_norm(num_frames)
+        return out[:, cfg.n_fft // 2: total - cfg.n_fft // 2]
 
     def istft(self, spect: jnp.ndarray) -> jnp.ndarray:
         """complex (B, T, num_freq) -> (B, S) with S = hop * (T - 1)."""
