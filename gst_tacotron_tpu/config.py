@@ -200,6 +200,12 @@ class LossConfig:
     # dilutes the stop transition with pad frames (VERDICT r1).
     stop_masked: bool = False
     stop_mask_extra: int = 10
+    # Optional guided-attention prior (Tachibana et al. 2017; NOT in the
+    # reference — off by default for training parity): penalizes attention
+    # mass far from the diagonal, loss = mean(A * (1 - exp(-(t/T - s/S)^2 /
+    # 2 sigma^2))) over valid (decode-step, token) cells.
+    guided_attention_weight: float = 0.0
+    guided_attention_sigma: float = 0.2
 
 
 @dataclass(frozen=True)

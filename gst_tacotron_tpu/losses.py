@@ -91,12 +91,45 @@ def compute_losses(
         + loss_cfg.linear_weight * linear_loss
         + loss_cfg.stop_weight * stop_loss
     )
-    return {
+    out = {
         "loss": loss,
         "mel_loss": mel_loss,
         "linear_loss": linear_loss,
         "stop_loss": stop_loss,
     }
+    if (loss_cfg.guided_attention_weight > 0.0 and "alignments" in outputs
+            and mel_lengths is not None and "token_lengths" in batch):
+        ga = guided_attention_loss(
+            outputs["alignments"], batch["token_lengths"], mel_lengths,
+            reduction_factor=max(time // outputs["alignments"].shape[1], 1),
+            sigma=loss_cfg.guided_attention_sigma,
+        )
+        out["guided_loss"] = ga
+        out["loss"] = loss + loss_cfg.guided_attention_weight * ga
+    return out
+
+
+def guided_attention_loss(alignments: jnp.ndarray, token_lengths: jnp.ndarray,
+                          mel_lengths: jnp.ndarray, reduction_factor: int,
+                          sigma: float) -> jnp.ndarray:
+    """Soft-diagonal attention prior over (B, S_dec, T_enc) alignments.
+
+    W[s, t] = 1 - exp(-(t/T_b - s/S_b)^2 / (2 sigma^2)) on valid cells
+    (s < ceil(mel_len/r), t < token_len); loss = sum(A * W) / sum(A) — the
+    W-weighted fraction of attention mass off the diagonal, in [0, 1]
+    regardless of shape. Optional extension beyond the reference
+    (LossConfig.guided_attention_weight, default 0 = off)."""
+    a = alignments.astype(jnp.float32)
+    _, s_dim, t_dim = a.shape
+    dec_len = jnp.ceil(mel_lengths.astype(jnp.float32)
+                       / reduction_factor)[:, None, None]
+    enc_len = token_lengths.astype(jnp.float32)[:, None, None]
+    s = jnp.arange(s_dim, dtype=jnp.float32)[None, :, None]
+    t = jnp.arange(t_dim, dtype=jnp.float32)[None, None, :]
+    w = 1.0 - jnp.exp(-jnp.square(t / enc_len - s / dec_len)
+                      / (2.0 * sigma * sigma))
+    valid = ((s < dec_len) & (t < enc_len)).astype(jnp.float32)
+    return jnp.sum(a * w * valid) / jnp.maximum(jnp.sum(a * valid), 1e-6)
 
 
 def optax_sigmoid_bce(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:

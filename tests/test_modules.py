@@ -175,3 +175,48 @@ def test_postnet_shape():
     variables = post.init(jax.random.PRNGKey(0), mel, train=False)
     out = post.apply(variables, mel, train=False)
     assert out.shape == (2, 20, 257)
+
+
+def test_guided_attention_loss_prefers_diagonal():
+    import jax.numpy as jnp
+    from gst_tacotron_tpu.losses import guided_attention_loss
+
+    b, s_dim, t_dim = 2, 20, 10
+    diag = np.zeros((b, s_dim, t_dim), np.float32)
+    anti = np.zeros((b, s_dim, t_dim), np.float32)
+    for s in range(s_dim):
+        diag[:, s, int(s / s_dim * t_dim)] = 1.0
+        anti[:, s, t_dim - 1 - int(s / s_dim * t_dim)] = 1.0
+    tl = np.full((b,), t_dim, np.int32)
+    ml = np.full((b,), s_dim * 2, np.int32)  # r=2
+    lo = guided_attention_loss(jnp.asarray(diag), tl, ml, 2, 0.2)
+    hi = guided_attention_loss(jnp.asarray(anti), tl, ml, 2, 0.2)
+    assert float(lo) < 0.1 and float(hi) > 0.5
+
+
+def test_guided_attention_in_compute_losses():
+    import jax.numpy as jnp
+    from gst_tacotron_tpu.config import AudioConfig, LossConfig
+    from gst_tacotron_tpu.losses import compute_losses
+
+    b, s_dim, t_dim, r, m, f = 2, 8, 5, 2, 8, 9
+    rng = np.random.default_rng(0)
+    outputs = {
+        "mel": jnp.asarray(rng.random((b, s_dim * r, m), np.float32)),
+        "linear": jnp.asarray(rng.random((b, s_dim * r, f), np.float32)),
+        "stop_logits": jnp.zeros((b, s_dim * r), np.float32),
+        "alignments": jnp.asarray(
+            rng.dirichlet(np.ones(t_dim), (b, s_dim)).astype(np.float32)),
+    }
+    batch = {
+        "mel": outputs["mel"], "linear": outputs["linear"],
+        "mel_lengths": np.full((b,), s_dim * r, np.int32),
+        "token_lengths": np.full((b,), t_dim, np.int32),
+    }
+    off = compute_losses(outputs, batch, LossConfig(), AudioConfig())
+    on = compute_losses(
+        outputs, batch,
+        LossConfig(guided_attention_weight=0.5), AudioConfig())
+    assert "guided_loss" not in off
+    assert float(on["guided_loss"]) > 0.0
+    assert float(on["loss"]) > float(off["loss"])
