@@ -411,6 +411,13 @@ def main(argv=None):
     if args.overrides:
         cfg = apply_overrides(cfg, parse_cli_overrides(args.overrides))
 
+    # Fail fast on a missing/typo'd workdir BEFORE the (slow) model init —
+    # otherwise the fallback preset compiles a full-size model just to
+    # discover there is nothing to restore.
+    ckpt_dir = os.path.join(args.workdir, cfg.train.checkpoint_dir)
+    if not os.path.isdir(ckpt_dir):
+        raise FileNotFoundError(f"no checkpoint directory at {ckpt_dir}")
+
     # template state for restore
     import jax
 

@@ -385,8 +385,11 @@ class Trainer:
             window += 1
             step += 1
             if step % cfg.train.log_every == 0:
-                dt = time.time() - t0
+                # Fetch BEFORE taking dt: the float() is the sync point that
+                # waits for the window's execution — measuring dt first would
+                # time only the async dispatches and overstate steps/s ~2x.
                 host_metrics = {k: float(v) for k, v in metrics.items()}
+                dt = time.time() - t0
                 host_metrics["steps_per_sec"] = window / max(dt, 1e-9)
                 self.logger.write(step, host_metrics, prefix="train")
                 t0, window = time.time(), 0

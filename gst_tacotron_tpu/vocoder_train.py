@@ -31,7 +31,15 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 class VocoderSegmentLoader:
-    """Yields {mel (B, F, M), wav (B, F*hop)} random crops, fixed shapes."""
+    """Yields {mel (B, F, M), wav (B, F*hop)} random crops, fixed shapes.
+
+    Hot-path design (this runtime is wire-bytes- and host-latency-bound, see
+    CLAUDE.md): usable utterances are decompressed ONCE into a RAM cache as
+    float16 (the 8-bit mu-law target loses nothing at f16, and mel values are
+    |x| <= max_abs_value), and batches are assembled from RAM — no per-step
+    npz decompression. Batches ship f16 (half the wire bytes); the train step
+    casts on device.
+    """
 
     def __init__(self, dataset: PatternDataset, hop: int, *,
                  segment_frames: int = 24, batch_size: int = 16, seed: int = 0,
@@ -62,16 +70,25 @@ class VocoderSegmentLoader:
                 "generated with --store-wav and exceed segment_frames"
             )
         self.num_mels = int(dataset.load(self.usable[0])["mel"].shape[1])
+        self._cache: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+
+    def _get(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
+        hit = self._cache.get(idx)
+        if hit is None:
+            item = self.ds.load(idx)
+            hit = (item["mel"].astype(np.float16),
+                   item["wav"].astype(np.float16))
+            self._cache[idx] = hit
+        return hit
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         f = self.segment_frames
         while True:
-            mel_b = np.zeros((self.batch_size, f, self.num_mels), np.float32)
-            wav_b = np.zeros((self.batch_size, f * self.hop), np.float32)
+            mel_b = np.zeros((self.batch_size, f, self.num_mels), np.float16)
+            wav_b = np.zeros((self.batch_size, f * self.hop), np.float16)
             for j in range(self.batch_size):
                 idx = int(self.rng.choice(self.usable))
-                item = self.ds.load(idx)
-                mel, wav = item["mel"], item["wav"]
+                mel, wav = self._get(idx)
                 max_start = min(mel.shape[0] - f,
                                 (len(wav) - f * self.hop) // self.hop)
                 start = int(self.rng.integers(0, max(1, max_start)))
@@ -117,13 +134,24 @@ class VocoderTrainer:
                                       keep=cfg.train.keep_checkpoints)
         self.logger = MetricLogger(os.path.join(work_dir, "vocoder_logs"))
 
+    def restore_if_available(self) -> bool:
+        step = self.ckpt.latest_step()
+        if step is None:
+            return False
+        self.state = self.ckpt.restore(self.state, step)
+        return True
+
     def _make_step(self):
         model, tx = self.model, self.tx
 
         def step(state: TrainState, batch):
+            # Batches arrive f16 (wire format); compute in f32 on device.
+            mel = batch["mel"].astype(jnp.float32)
+            wav = batch["wav"].astype(jnp.float32)
+
             def loss_fn(params):
-                return model.apply({"params": params}, batch["mel"],
-                                   batch["wav"], method=model.loss)
+                return model.apply({"params": params}, mel, wav,
+                                   method=model.loss)
 
             loss, grads = jax.value_and_grad(loss_fn)(state.params)
             updates, opt_state = tx.update(grads, state.opt_state, state.params)
@@ -138,20 +166,41 @@ class VocoderTrainer:
                        donate_argnums=(0,))
 
     def train(self, total_steps: int) -> TrainState:
-        it = iter(self.loader)
+        # Background host assembly: batch crops are built in a thread feeding
+        # a bounded queue, so host work overlaps device compute. The step
+        # counter is tracked host-side — `int(self.state.step)` would force a
+        # device fetch of the donated state every iteration (~one tunnel RTT
+        # per step on this runtime).
+        import queue as _queue
+        import threading
+
+        start_step = int(self.state.step)
+        todo = total_steps - start_step
+        q: _queue.Queue = _queue.Queue(maxsize=4)
+
+        def _feed():
+            it = iter(self.loader)
+            for _ in range(max(0, todo)):
+                q.put(next(it))
+
+        feeder = threading.Thread(target=_feed, daemon=True)
+        feeder.start()
+
         t0, window = time.time(), 0
-        for _ in range(int(self.state.step), total_steps):
-            batch = {k: jnp.asarray(v) for k, v in next(it).items()}
+        for step in range(start_step + 1, total_steps + 1):
+            batch = {k: jnp.asarray(v) for k, v in q.get().items()}
             if self.mesh is not None:
                 from .parallel import shard_batch
                 batch = shard_batch(batch, self.mesh)
             self.state, metrics = self.step_fn(self.state, batch)
             window += 1
-            step = int(self.state.step)
             if step % self.cfg.train.log_every == 0:
+                # Sync (the loss fetch) BEFORE taking dt, or steps_per_sec
+                # times only the async dispatches (see train.py).
+                loss = float(metrics["loss"])
                 dt = time.time() - t0
                 self.logger.write(step, {
-                    "loss": float(metrics["loss"]),
+                    "loss": loss,
                     "steps_per_sec": window / max(dt, 1e-9),
                 }, prefix="vocoder")
                 t0, window = time.time(), 0
@@ -187,6 +236,7 @@ def main(argv=None):
     trainer = VocoderTrainer(cfg, args.patterns, args.workdir, mesh,
                              segment_frames=args.segment_frames,
                              batch_size=args.batch_size)
+    trainer.restore_if_available()
     trainer.train(args.steps)
 
 

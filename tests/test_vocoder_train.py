@@ -51,3 +51,17 @@ def test_vocoder_trainer_steps(voc_patterns, voc_cfg, tmp_path):
                              segment_frames=8, batch_size=2)
     state = trainer.train(total_steps=3)
     assert int(state.step) == 3
+
+
+def test_vocoder_trainer_resume(voc_patterns, voc_cfg, tmp_path):
+    """restore_if_available continues from the saved step (ADVICE-round-1
+    class of bug: vocoder_train previously had no resume path at all)."""
+    cfg = apply_overrides(voc_cfg, {"train.checkpoint_every": 2})
+    work = str(tmp_path / "w")
+    t1 = VocoderTrainer(cfg, voc_patterns, work, segment_frames=8, batch_size=2)
+    t1.train(total_steps=2)
+    t2 = VocoderTrainer(cfg, voc_patterns, work, segment_frames=8, batch_size=2)
+    assert t2.restore_if_available()
+    assert int(t2.state.step) == 2
+    state = t2.train(total_steps=4)
+    assert int(state.step) == 4
