@@ -49,6 +49,9 @@ class AudioConfig:
     # Griffin-Lim
     griffin_lim_iters: int = 60
     griffin_lim_power: float = 1.5  # magnitude sharpening before inversion
+    # Fast-GLA momentum (Perraudin et al. 2013). 0.0 = the reference's plain
+    # iteration; ~0.99 halves the iterations needed for the same error.
+    griffin_lim_momentum: float = 0.0
     trim_top_db: float = 60.0  # silence trim threshold at pattern time
 
     @property

@@ -314,16 +314,26 @@ class JaxDSP:
             re = magnitude * jnp.cos(ang)
             im = magnitude * jnp.sin(ang)
 
+        # Fast Griffin-Lim (Perraudin et al. 2013): extrapolate the iterate
+        # with momentum alpha before each projection. alpha=0 (the default,
+        # matching the reference's plain iteration) reduces exactly to the
+        # classic update; alpha ~0.99 reaches the same spectral error in
+        # roughly half the iterations. Same fori_loop, one extra axpy.
+        alpha = cfg.griffin_lim_momentum
+
         def body(_, s):
-            re, im = s
-            wav = self.istft_ri(re, im)
+            re, im, pre, pim = s  # t_n and t_{n-1} (projected iterates)
+            cre = re + alpha * (re - pre)
+            cim = im + alpha * (im - pim)
+            wav = self.istft_ri(cre, cim)
             re2, im2 = self.stft_ri(wav)
             scale = magnitude / jnp.maximum(
                 jnp.sqrt(re2 * re2 + im2 * im2), 1e-16
             )
-            return re2 * scale, im2 * scale
+            return re2 * scale, im2 * scale, re, im
 
-        re, im = jax.lax.fori_loop(0, cfg.griffin_lim_iters, body, (re, im))
+        re, im, _, _ = jax.lax.fori_loop(
+            0, cfg.griffin_lim_iters, body, (re, im, re, im))
         return self.istft_ri(re, im)
 
     def inv_linear_spectrogram(

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import functools
 import os
+import re
 import time
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -400,6 +401,15 @@ def main(argv=None):
                         "this directory (TensorBoard/Perfetto)")
     p.add_argument("overrides", nargs="*")
     args = p.parse_args(argv)
+    # argparse gives a trailing `key.path=value` override to --texts (its
+    # nargs="+" is greedy); a config override silently synthesized as a
+    # sentence is a confusing failure — reject it with the fix spelled out.
+    for t in args.texts:
+        if re.fullmatch(r"[A-Za-z_][\w.]*=[^\s=]+", t):
+            p.error(
+                f"{t!r} looks like a config override but was captured by "
+                f"--texts; put overrides BEFORE --texts"
+            )
 
     workdir_cfg = os.path.join(args.workdir, "config.json")
     if args.config:

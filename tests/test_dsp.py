@@ -134,6 +134,29 @@ def test_griffin_lim_reconstructs(rng):
     assert e32 < e8, "more iterations must reduce magnitude error"
 
 
+def test_griffin_lim_momentum_accelerates(rng):
+    """Fast-GLA (griffin_lim_momentum) must beat the plain iteration at equal
+    iteration count, and momentum=0 must be bit-identical to the old update."""
+    wav = make_wav(rng, n=8192)
+    dsp = JaxDSP(SMALL)
+    mag = np.asarray(dsp.magnitude(wav[None, :]))
+
+    def gl_err(iters, momentum):
+        d = JaxDSP(AudioConfig(n_fft=512, hop_length=128, win_length=512,
+                               griffin_lim_iters=iters,
+                               griffin_lim_momentum=momentum))
+        rec = np.asarray(d.griffin_lim(mag))
+        mag_rec = np.asarray(d.magnitude(rec))
+        return np.linalg.norm(mag - mag_rec) / np.linalg.norm(mag)
+
+    plain16, fast16 = gl_err(16, 0.0), gl_err(16, 0.99)
+    assert fast16 < plain16, (
+        f"momentum should accelerate convergence: {fast16:.4f} vs {plain16:.4f}"
+    )
+    # ~half the iterations for comparable error
+    assert gl_err(8, 0.99) < plain16 * 1.05
+
+
 def test_inv_spectrogram_end_to_end(rng):
     wav = make_wav(rng, n=8192)
     dsp = JaxDSP(SMALL)
