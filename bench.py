@@ -54,7 +54,13 @@ def build(cfg_overrides=None, checkpoint_workdir=None):
     ov = {
         # flagship dims (full-size GST-Tacotron), bounded decode length
         "model.decoder.max_decode_steps": 200,
-        "audio.griffin_lim_iters": 30,
+        # Fast-GLA at 15 iterations is quality-neutral-or-better vs the
+        # plain iteration at 30 (spectral error 0.163 vs 0.174 on harmonic
+        # test signals at production audio params; fast-30 = 0.099 beats
+        # even the reference's plain-60 = 0.119) and ~5 ms/batch cheaper —
+        # see tests/test_dsp.py::test_griffin_lim_momentum_accelerates.
+        "audio.griffin_lim_iters": 15,
+        "audio.griffin_lim_momentum": 0.99,
         # Throughput is measured at FULL decode length: untrained stop heads
         # fire immediately (sigmoid(0)~0.5), which would shrink the audio
         # numerator while the fixed-length scan still pays for every step.
