@@ -381,11 +381,11 @@ def bench_train(transport: str, steps: int = 15, batch: int = 8):
 
     from gst_tacotron_tpu.config import apply_overrides, get_preset
     from gst_tacotron_tpu.train import (
-        init_state, make_optimizer, make_train_step,
+        init_state, make_corpus_train_step, make_optimizer, make_train_step,
     )
 
     cfg = apply_overrides(get_preset("gst_lj"), {
-        "data.wav_transport": transport == "wav",
+        "data.wav_transport": transport in ("wav", "corpus"),
         "data.batch_size": batch,
     })
     rng = np.random.default_rng(0)
@@ -399,7 +399,7 @@ def bench_train(transport: str, steps: int = 15, batch: int = 8):
         "linear": rng.random((batch, t_mel, cfg.model.num_freq), np.float32),
         "speaker_ids": np.zeros((batch,), np.int32),
     }
-    if transport == "wav":
+    if transport in ("wav", "corpus"):
         sig_len = (t_mel - 1) * a.hop_length + a.n_fft
         ints = np.zeros((batch, t_text + 4), np.int32)
         ints[:, :t_text] = feat["tokens"]
@@ -414,6 +414,9 @@ def bench_train(transport: str, steps: int = 15, batch: int = 8):
     else:
         wire = feat
     bytes_per_batch = sum(v.nbytes for v in wire.values())
+    if transport == "corpus":
+        # device-resident corpus mode: the per-step wire is a (B,) index
+        bytes_per_batch = batch * 4
 
     try:
         cpu = jax.devices("cpu")[0]
@@ -425,8 +428,40 @@ def bench_train(transport: str, steps: int = 15, batch: int = 8):
     else:
         model, state = init_state(cfg, jax.random.PRNGKey(0), feat)
     tx = make_optimizer(cfg.optimizer)
-    step_fn = make_train_step(model, tx, cfg)  # donated state chain
     state = jax.device_put(state)
+    if transport == "corpus":
+        # 64-row resident corpus at the batch's shapes; fresh idx per step
+        n_rows = 64
+        c_wav = jax.device_put(np.concatenate(
+            [wire["wav"]] * (n_rows // batch), axis=0))
+        c_ints = jax.device_put(np.concatenate(
+            [wire["ints"]] * (n_rows // batch), axis=0))
+        jax.block_until_ready(c_wav)
+        step_fn = make_corpus_train_step(
+            model, tx, cfg, t_text, wire["wav"].shape[1], t_text)
+        t0 = time.perf_counter()
+        state, metrics = step_fn(
+            state, c_wav, c_ints, np.arange(batch, dtype=np.int32))
+        _ = float(metrics["loss"])
+        log(f"train[{transport}] compiled in {time.perf_counter() - t0:.1f}s")
+        idxs = [rng.integers(0, n_rows, batch).astype(np.int32)
+                for _ in range(steps)]
+        t0 = time.perf_counter()
+        for idx in idxs:
+            state, metrics = step_fn(state, c_wav, c_ints, idx)
+        loss = float(metrics["loss"])  # barrier: every step feeds the next
+        dt = (time.perf_counter() - t0) / steps
+        log(f"train[{transport}]: {dt*1e3:.1f} ms/step, loss {loss:.4f}")
+        return {
+            "transport": transport,
+            "ms_per_step": round(dt * 1e3, 2),
+            "steps_per_sec": round(1.0 / dt, 3),
+            "wire_mb_per_batch": round(bytes_per_batch / 1e6, 6),
+            "arg_buffers": 1,
+            "batch": batch,
+            "t_mel_frames": t_mel,
+        }
+    step_fn = make_train_step(model, tx, cfg)  # donated state chain
     t0 = time.perf_counter()
     state, metrics = step_fn(state, wire)
     _ = float(metrics["loss"])  # forces compile + first step
@@ -555,7 +590,8 @@ def main():
 
     if args.train_bench:
         _enable_compile_cache()
-        rows = [bench_train("features"), bench_train("wav")]
+        rows = [bench_train("features"), bench_train("wav"),
+                bench_train("corpus")]
         out = {
             "metric": "train_ms_per_step",
             "value": rows[1]["ms_per_step"],

@@ -220,25 +220,84 @@ class BucketedLoader:
         hot path; `train._materialize_features` unpacks and runs the
         window/DFT/mel/dB FLOPs on device.
         """
-        from ..dsp import ref as dsp_ref
-
-        hop, n_fft = self.audio.hop_length, self.audio.n_fft
-        pad = n_fft // 2
-        sig_len = (spec.max_frames - 1) * hop + n_fft
+        sig_len = (spec.max_frames - 1) * self.audio.hop_length + self.audio.n_fft
         wav = np.zeros((n, sig_len), WAV_WIRE_DTYPE)
         ints = np.zeros((n, spec.max_text + 4), np.int32)
         for j, item in enumerate(items):
-            t = item["tokens"][: spec.max_text]
-            ints[j, : len(t)] = t
-            w = np.asarray(item["wav"], np.float64)
-            frames = min(1 + len(w) // hop, spec.max_frames)
-            pre = dsp_ref.preemphasis(w, self.audio.preemphasis)
-            sig = np.pad(pre, (pad, pad), mode="reflect")[:sig_len]
-            wav[j, : len(sig)] = sig.astype(WAV_WIRE_DTYPE)
-            mlen = min(_align_up(frames, self.r), spec.max_frames)
-            ints[j, spec.max_text:] = (
-                len(t), mlen, frames, int(item["speaker_id"]))
+            self._fill_wav_row(item, spec, wav[j], ints[j], spec.max_text)
         return {"wav": wav, "ints": ints}
+
+    def _fill_wav_row(self, item: Dict[str, np.ndarray], spec: BucketSpec,
+                      wav_row: np.ndarray, ints_row: np.ndarray,
+                      scalars_at: int) -> None:
+        """Prep ONE utterance into preallocated wire rows (tokens at the
+        front, the 4 scalars at `scalars_at`); shared by the per-batch
+        assembler and the device-corpus builder so both produce bit-identical
+        rows."""
+        from ..dsp import ref as dsp_ref
+
+        hop, n_fft = self.audio.hop_length, self.audio.n_fft
+        sig_len = (spec.max_frames - 1) * hop + n_fft
+        t = item["tokens"][: spec.max_text]
+        ints_row[: len(t)] = t
+        w = np.asarray(item["wav"], np.float64)
+        frames = min(1 + len(w) // hop, spec.max_frames)
+        pre = dsp_ref.preemphasis(w, self.audio.preemphasis)
+        sig = np.pad(pre, (n_fft // 2, n_fft // 2), mode="reflect")[:sig_len]
+        wav_row[: len(sig)] = sig.astype(WAV_WIRE_DTYPE)
+        mlen = min(_align_up(frames, self.r), spec.max_frames)
+        ints_row[scalars_at : scalars_at + 4] = (
+            len(t), mlen, frames, int(item["speaker_id"]))
+
+    # -- device-resident corpus (index-wire) mode ----------------------------
+
+    def build_wav_corpus(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Every split entry prepped ONCE at the GLOBAL max bucket shapes.
+
+        Device-corpus mode: the whole prepped corpus lives in HBM and each
+        train step ships only a (B,) index vector — measured 1.1 ms/step of
+        batch-fetch cost vs ~90 ms for uploading the f16 wav wire at B=16
+        through this runtime's ~50 MB/s host->device tunnel. Row i, sliced to
+        its own bucket's (sig_len, max_text) prefix with the scalar block
+        reattached, is bit-identical to `_assemble_wav`'s wire row, so
+        `train._materialize_features` is reused unchanged.
+
+        Returns (wav (N, L_max) f16, ints (N, T_max + 4) int32); also sets
+        `self.corpus_row[dataset_idx] -> row` used by `stream_indices`.
+        """
+        if not self.cfg.wav_transport:
+            raise ValueError("device corpus requires data.wav_transport")
+        members = sorted({i for m in self.bucket_members for i in m})
+        spec_of = {}
+        for b, m in enumerate(self.bucket_members):
+            for i in m:
+                spec_of[i] = self.buckets[b]
+        t_max = max(s.max_text for s in self.buckets)
+        f_max = max(s.max_frames for s in self.buckets)
+        l_max = (f_max - 1) * self.audio.hop_length + self.audio.n_fft
+        wav = np.zeros((len(members), l_max), WAV_WIRE_DTYPE)
+        ints = np.zeros((len(members), t_max + 4), np.int32)
+        self.corpus_row = {}
+        for row, idx in enumerate(members):
+            item = self.dataset.load(idx, wav_only=True)
+            self._fill_wav_row(item, spec_of[idx], wav[row], ints[row], t_max)
+            self.corpus_row[idx] = row
+        return wav, ints
+
+    def stream_indices(self, start_batch: int = 0
+                       ) -> Iterator[Tuple[np.ndarray, BucketSpec]]:
+        """The same deterministic batch stream as `stream`, but yielding
+        (corpus row ids, bucket spec) instead of assembled arrays — the
+        device-corpus train step gathers the rows in HBM."""
+        bpe = max(1, self.batches_per_epoch())
+        epoch, skip = divmod(start_batch, bpe)
+        while True:
+            for indices, spec in self._epoch_batches(epoch)[skip:]:
+                rows = np.asarray([self.corpus_row[i] for i in indices],
+                                  np.int32)
+                yield rows, spec
+            skip = 0
+            epoch += 1
 
     # -- epoch plan ---------------------------------------------------------
 

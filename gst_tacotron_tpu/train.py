@@ -216,6 +216,45 @@ def make_train_step(model: GSTTacotron, tx: optax.GradientTransformation,
     )
 
 
+def train_step_device_corpus(model: GSTTacotron,
+                             tx: optax.GradientTransformation, cfg: Config,
+                             max_text: int, sig_len: int, t_max: int,
+                             state: TrainState, corpus_wav: jnp.ndarray,
+                             corpus_ints: jnp.ndarray, idx: jnp.ndarray
+                             ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    """Device-corpus variant: the batch is GATHERED from the HBM-resident
+    prepped corpus (row slices reproduce the wav-transport wire format
+    bit-exactly — loader.build_wav_corpus), so the host ships only `idx`.
+    max_text/sig_len are the bucket's static dims; t_max is where the corpus
+    rows keep their 4-scalar block."""
+    rows_i = corpus_ints[idx]
+    batch = {
+        "wav": corpus_wav[idx][:, :sig_len],
+        "ints": jnp.concatenate(
+            [rows_i[:, :max_text], rows_i[:, t_max:]], axis=1),
+    }
+    return train_step(model, tx, cfg, state, batch)
+
+
+def make_corpus_train_step(model: GSTTacotron,
+                           tx: optax.GradientTransformation, cfg: Config,
+                           max_text: int, sig_len: int, t_max: int,
+                           mesh: Optional[Mesh] = None):
+    """Per-bucket jit of the device-corpus step (one program per bucket spec,
+    same count as the wire path). The corpus arrays are NON-donated device
+    residents: one big buffer does not trip this runtime's resident-tree
+    penalty (measured — see CLAUDE.md #10/#18)."""
+    fn = functools.partial(train_step_device_corpus, model, tx, cfg,
+                           max_text, sig_len, t_max)
+    if mesh is None:
+        return jax.jit(fn, donate_argnums=(0,))
+    return jax.jit(
+        fn,
+        in_shardings=(None, None, None, NamedSharding(mesh, P("data"))),
+        donate_argnums=(0,),
+    )
+
+
 def eval_step(model: GSTTacotron, cfg: Config, state: TrainState,
               batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
     variables = {"params": state.params, "batch_stats": state.batch_stats}
@@ -316,6 +355,28 @@ class Trainer:
         )
         self.tx = make_optimizer(cfg.optimizer)
         self.step_fn = make_train_step(self.model, self.tx, cfg, mesh)
+        self.corpus = None
+        if cfg.data.device_corpus:
+            if not cfg.data.wav_transport:
+                raise ValueError("data.device_corpus requires "
+                                 "data.wav_transport=true")
+            wav_np, ints_np = self.loader.build_wav_corpus()
+            gb = (wav_np.nbytes + ints_np.nbytes) / 1e9
+            if gb > cfg.data.device_corpus_max_gb:
+                raise ValueError(
+                    f"prepped corpus is {gb:.2f} GB > "
+                    f"data.device_corpus_max_gb={cfg.data.device_corpus_max_gb}"
+                    "; lower bucket bounds or disable device_corpus")
+            self._corpus_t_max = ints_np.shape[1] - 4
+            if mesh is not None:
+                rep = NamedSharding(mesh, P())
+                self.corpus = (jax.device_put(wav_np, rep),
+                               jax.device_put(ints_np, rep))
+            else:
+                self.corpus = (jnp.asarray(wav_np), jnp.asarray(ints_np))
+            self._corpus_step_fns: Dict[Tuple[int, int], Any] = {}
+            print(f"[trainer] device corpus resident: {wav_np.shape[0]} rows,"
+                  f" {gb:.2f} GB")
         self.eval_fn = None
         if self.val_loader is not None:
             fn = functools.partial(eval_step, self.model, cfg)
@@ -347,6 +408,19 @@ class Trainer:
             return means
         return {}
 
+    def _corpus_step_fn(self, spec):
+        """Per-bucket jitted device-corpus step (cached by bucket dims)."""
+        key = (spec.max_text, spec.max_frames)
+        fn = self._corpus_step_fns.get(key)
+        if fn is None:
+            sig_len = ((spec.max_frames - 1) * self.cfg.audio.hop_length
+                       + self.cfg.audio.n_fft)
+            fn = make_corpus_train_step(
+                self.model, self.tx, self.cfg, spec.max_text, sig_len,
+                self._corpus_t_max, self.mesh)
+            self._corpus_step_fns[key] = fn
+        return fn
+
     def restore_if_available(self) -> bool:
         step = self.ckpt.latest_step()
         if step is None:
@@ -366,7 +440,10 @@ class Trainer:
         total = total_steps or cfg.train.total_steps
         start_step = int(self.state.step)
         # resume the deterministic batch stream where the checkpoint left off
-        it = self.loader.stream(start_batch=start_step)
+        if self.corpus is not None:
+            it = self.loader.stream_indices(start_batch=start_step)
+        else:
+            it = self.loader.stream(start_batch=start_step)
         t0 = time.time()
         window = 0
         profiler = StepWindowProfiler(profile_dir)
@@ -380,8 +457,14 @@ class Trainer:
         step = start_step
         for _ in range(start_step, total):
             profiler.tick()
-            batch = self._device_batch(next(it))
-            self.state, metrics = self.step_fn(self.state, batch)
+            if self.corpus is not None:
+                rows, spec = next(it)
+                self.state, metrics = self._corpus_step_fn(spec)(
+                    self.state, self.corpus[0], self.corpus[1],
+                    jnp.asarray(rows))
+            else:
+                batch = self._device_batch(next(it))
+                self.state, metrics = self.step_fn(self.state, batch)
             window += 1
             step += 1
             if step % cfg.train.log_every == 0:

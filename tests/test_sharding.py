@@ -224,3 +224,23 @@ def test_distributed_chunked_requires_pure_dp():
     _, _, _, synth, tokens, lengths, _ = _build_dist(model_parallelism=2)
     with pytest.raises(ValueError, match="model_parallelism=1"):
         synth(tokens, lengths, max_steps=4, chunked=True)
+
+
+def test_device_corpus_sharded_train_step(tmp_path):
+    """device_corpus under a (data, model) mesh: corpus replicated, idx
+    sharded over data, two steps run and losses stay finite."""
+    from gst_tacotron_tpu.data import generate_patterns, synthetic_utterances
+    from gst_tacotron_tpu.parallel import make_mesh
+    from gst_tacotron_tpu.train import Trainer
+    from tests.test_wav_transport import small_cfg
+
+    patterns = str(tmp_path / "p")
+    cfg = small_cfg("gst_lj", wav_transport=True,
+                    **{"data.device_corpus": True, "data.batch_size": 4})
+    generate_patterns(synthetic_utterances(8), cfg.audio, patterns,
+                      store_wav=True)
+    mesh = make_mesh(2)
+    tr = Trainer(cfg, patterns, str(tmp_path / "w"), mesh=mesh)
+    assert tr.corpus is not None
+    state = tr.train(total_steps=2)
+    assert int(state.step) == 2

@@ -6,6 +6,7 @@ because host->device bandwidth — not compute — bounds the train loop on the
 TPU runtime (measured ~42 MB/s tunnel; a feature batch is ~8.5x the bytes of
 its wav batch)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -172,3 +173,53 @@ def test_train_smoke_wav_transport(pattern_dir, tmp_path):
 
     state = tr.train(total_steps=3)
     assert int(state.step) == 3
+
+
+def test_device_corpus_bitwise_matches_wire(pattern_dir, tmp_path):
+    """device_corpus mode must produce the SAME deterministic batch stream
+    and the SAME training trajectory as the wav-wire path (the corpus rows
+    are the wire rows, uploaded once and gathered by index)."""
+    cfg_wire = small_cfg("gst_lj", wav_transport=True)
+    cfg_corp = small_cfg("gst_lj", wav_transport=True,
+                         **{"data.device_corpus": True})
+
+    tr_w = Trainer(cfg_wire, pattern_dir, str(tmp_path / "w"))
+    tr_c = Trainer(cfg_corp, pattern_dir, str(tmp_path / "c"))
+    assert tr_c.corpus is not None
+
+    # the corpus row sliced to its bucket reproduces the wire batch exactly
+    rows, spec = next(tr_c.loader.stream_indices(0))
+    wire_batch = next(iter(tr_w.loader.stream(0)))
+    sig_len = (spec.max_frames - 1) * cfg_wire.audio.hop_length + cfg_wire.audio.n_fft
+    wav_rows = np.asarray(tr_c.corpus[0])[rows][:, :sig_len]
+    ints_rows = np.asarray(tr_c.corpus[1])[rows]
+    t_max = tr_c._corpus_t_max
+    ints = np.concatenate(
+        [ints_rows[:, : spec.max_text], ints_rows[:, t_max:]], axis=1)
+    np.testing.assert_array_equal(wav_rows, wire_batch["wav"])
+    np.testing.assert_array_equal(ints, wire_batch["ints"])
+
+    # identical two-step training trajectory
+    s_w = tr_w.train(total_steps=2)
+    s_c = tr_c.train(total_steps=2)
+    key = lambda kv: str(kv[0])
+    for (kw, vw), (kc, vc) in zip(
+            sorted(jax.tree_util.tree_flatten_with_path(s_w.params)[0], key=key),
+            sorted(jax.tree_util.tree_flatten_with_path(s_c.params)[0], key=key)):
+        np.testing.assert_allclose(np.asarray(vw), np.asarray(vc),
+                                   atol=1e-6, err_msg=str(kw))
+
+
+def test_device_corpus_requires_wav_transport(pattern_dir, tmp_path):
+    cfg = small_cfg("gst_lj", wav_transport=False,
+                    **{"data.device_corpus": True})
+    with pytest.raises(ValueError, match="wav_transport"):
+        Trainer(cfg, pattern_dir, str(tmp_path / "x"))
+
+
+def test_device_corpus_size_guard(pattern_dir, tmp_path):
+    cfg = small_cfg("gst_lj", wav_transport=True,
+                    **{"data.device_corpus": True,
+                       "data.device_corpus_max_gb": 1e-9})
+    with pytest.raises(ValueError, match="device_corpus_max_gb"):
+        Trainer(cfg, pattern_dir, str(tmp_path / "y"))
