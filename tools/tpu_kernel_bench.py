@@ -394,6 +394,54 @@ def main():
     report["roofline"].append(
         roofline("pallas_lsa_decode", lsa_flops, lsa_bytes, dt_lsa, peaks))
 
+    # ---- WaveRNN AR sampling: throughput scaling over streams --------------
+    # The sampler is latency-bound per step (one GRU-512 step per audio
+    # sample), so batching more streams is ~free until the MXU saturates —
+    # the aggregate-realtime column is the serving-throughput datum.
+    from gst_tacotron_tpu.models.wavernn import WaveRNN
+    from gst_tacotron_tpu.ops.wavernn_pallas import (
+        pack_wavernn_weights, wavernn_sample_pallas,
+    )
+
+    vcfg = cfg.model.vocoder
+    wmodel = WaveRNN(vcfg, cfg.model.num_mels)
+    frames = 24
+    with jax.default_device(cpu):
+        wvars = wmodel.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, frames, cfg.model.num_mels)),
+            jnp.zeros((1, frames * vcfg.wavernn_hop)))
+    wparams = jax.device_get(wvars)["params"]
+    packed_fp = FlatTree(pack_wavernn_weights(wparams, vcfg))
+    wfp = FlatTree({"params": wparams})
+    sr = cfg.audio.sample_rate
+    report["wavernn_scaling"] = []
+    for wb in (4, 16, 32):
+        mel_in = rng.standard_normal(
+            (wb, frames, cfg.model.num_mels)).astype(np.float32)
+
+        @jax.jit
+        def wsample(acc, flat, packed_flat, mel, seed):
+            variables = wfp.unpack(flat)
+            packed = packed_fp.unpack(packed_flat)
+            cond = wmodel.apply(variables, mel,
+                                method=wmodel.upsample_cond)
+            classes = wavernn_sample_pallas(
+                packed, cond, cfg=vcfg, seed=seed)
+            return acc * 1e-9 + jnp.float32(jnp.sum(classes[:, ::97]))
+
+        dt = timed(wsample,
+                   (wfp.flat, packed_fp.flat, jnp.asarray(mel_in),
+                    jnp.int32(7)),
+                   iters=5, name=f"wavernn sample B={wb}")
+        s = frames * vcfg.wavernn_hop
+        report["wavernn_scaling"].append({
+            "streams": wb,
+            "us_per_sample_step": dt / s * 1e6,
+            "aggregate_samples_per_sec": wb * s / dt,
+            "aggregate_realtime_x": wb * s / dt / sr,
+        })
+
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)
     log("report written")
