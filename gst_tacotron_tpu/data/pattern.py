@@ -299,6 +299,8 @@ def generate_patterns(
 
 
 def main(argv: Optional[List[str]] = None) -> None:
+    from ..utils.platform import respect_platforms_env
+    respect_platforms_env()
     p = argparse.ArgumentParser(description="Offline pattern generation")
     p.add_argument("--corpus", choices=["ljspeech", "vctk", "synthetic"],
                    required=True)

@@ -373,6 +373,9 @@ def main(argv=None):
     alignment PNGs."""
     import argparse
 
+    from .utils.platform import respect_platforms_env
+    respect_platforms_env()
+
     from .config import apply_overrides, get_preset, load_config, parse_cli_overrides
     from .checkpoint import CheckpointManager
     from .train import init_state
@@ -386,6 +389,12 @@ def main(argv=None):
     p.add_argument("--texts", nargs="+", required=True)
     p.add_argument("--reference-wavs", nargs="*",
                    help="style reference wavs (GST configs)")
+    p.add_argument("--token-weights",
+                   help="direct style control: comma-separated per-token "
+                        "attention weights (length = model.gst.num_tokens), "
+                        "applied to every utterance — the reference's "
+                        "token-weight inference mode; mutually exclusive "
+                        "with --reference-wavs")
     p.add_argument("--speaker-ids", nargs="*", type=int)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--pallas-decoder", action="store_true")
@@ -427,6 +436,22 @@ def main(argv=None):
     ckpt_dir = os.path.join(args.workdir, cfg.train.checkpoint_dir)
     if not os.path.isdir(ckpt_dir):
         raise FileNotFoundError(f"no checkpoint directory at {ckpt_dir}")
+
+    # Parse/validate style inputs BEFORE the (slow) model init.
+    token_weights = None
+    if args.token_weights:
+        if args.reference_wavs:
+            p.error("--token-weights and --reference-wavs are mutually "
+                    "exclusive (two style sources)")
+        w = np.array([float(x) for x in args.token_weights.split(",")],
+                     np.float32)
+        if w.shape[0] != cfg.model.gst.num_tokens:
+            p.error(f"--token-weights needs {cfg.model.gst.num_tokens} "
+                    f"values (model.gst.num_tokens), got {w.shape[0]}")
+        if not cfg.model.gst.enabled:
+            p.error("--token-weights requires a GST config "
+                    "(model.gst.enabled)")
+        token_weights = np.tile(w[None, :], (len(args.texts), 1))
 
     # template state for restore
     import jax
@@ -480,6 +505,7 @@ def main(argv=None):
 
     with profile_trace(args.profile, enabled=args.profile is not None):
         out = synth(args.texts, reference_wavs=ref_wavs,
+                    token_weights=token_weights,
                     speaker_ids=args.speaker_ids, seed=args.seed)
     paths = synth.save_outputs(out, args.out)
     for pth, d in zip([x for x in paths if x.endswith(".wav")],

@@ -513,6 +513,8 @@ def default_eval_hook(trainer: "Trainer", step: int) -> None:
 
 
 def main(argv=None):
+    from .utils.platform import respect_platforms_env
+    respect_platforms_env()
     p = argparse.ArgumentParser(description="Train GST-Tacotron (TPU-native)")
     p.add_argument("--preset", default="taco1_lj")
     p.add_argument("--config", help="config JSON path (overrides preset)")

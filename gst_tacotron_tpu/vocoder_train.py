@@ -212,6 +212,8 @@ class VocoderTrainer:
 
 
 def main(argv=None):
+    from .utils.platform import respect_platforms_env
+    respect_platforms_env()
     p = argparse.ArgumentParser(description="Train the WaveRNN vocoder stage")
     p.add_argument("--preset", default="gst_wavernn")
     p.add_argument("--config")
