@@ -568,9 +568,38 @@ def bench_scaling(device_counts=(1, 2, 4, 8)):
     return rows
 
 
+def _arm_watchdog(seconds: float):
+    """If the TPU tunnel is wedged (observed: relay process dies and every
+    device call blocks forever), emit an HONEST failure line instead of
+    hanging past the driver's patience. Normal full runs finish in ~6-8 min
+    incl. first compile; the default budget is far above that."""
+    import os
+    import threading
+
+    def fire():
+        print(json.dumps({
+            "metric": "audio_seconds_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "audio-s/s/chip",
+            "vs_baseline": 0.0,
+            "error": f"watchdog: no result within {seconds:.0f}s — device "
+                     "tunnel unresponsive; see BENCH_trained_r02.json for "
+                     "the last committed measurement",
+        }), flush=True)
+        os._exit(3)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true", help="smaller workload")
+    p.add_argument("--watchdog", type=float, default=2400.0,
+                   help="seconds before an unresponsive-device failure line "
+                        "is emitted (0 disables)")
     p.add_argument("--details", help="write detailed JSON here")
     p.add_argument("--checkpoint",
                    help="training workdir: bench the TRAINED model with real "
@@ -605,6 +634,10 @@ def main():
                 json.dump(out, f, indent=2)
         print(json.dumps(out))
         return
+
+    watchdog = None
+    if args.watchdog > 0:
+        watchdog = _arm_watchdog(args.watchdog)
 
     overrides = None
     if args.quick:
@@ -697,6 +730,8 @@ def main():
     if args.details:
         with open(args.details, "w") as f:
             json.dump(details, f, indent=2)
+    if watchdog is not None:
+        watchdog.cancel()
     print(json.dumps(result))
 
 
