@@ -113,3 +113,79 @@ def test_loader_prefetch_stream(pattern_dir):
     it = iter(loader)
     seen = [next(it) for _ in range(8)]  # crosses an epoch boundary
     assert all(s["tokens"].shape[0] == 2 for s in seen)
+
+
+def _tone(sr, seconds=1.2, f0=220.0):
+    import numpy as np
+    t = np.arange(int(sr * seconds)) / sr
+    return (0.4 * np.sin(2 * np.pi * f0 * t)).astype(np.float32)
+
+
+def test_ljspeech_walker_and_patterns(tmp_path):
+    """Real-corpus ingestion path: LJSpeech layout (metadata.csv + wavs/)
+    walks, extracts, and indexes — incl. resampling from a foreign rate."""
+    import numpy as np
+    from scipy.io import wavfile
+    from gst_tacotron_tpu.data.pattern import (
+        generate_patterns, walk_ljspeech,
+    )
+    from gst_tacotron_tpu.data.loader import PatternDataset
+
+    root = tmp_path / "lj"
+    (root / "wavs").mkdir(parents=True)
+    sr_foreign = 16000  # exercise the polyphase resample
+    rows = []
+    for i in range(3):
+        uid = f"LJ001-{i:04d}"
+        wavfile.write(str(root / "wavs" / (uid + ".wav")), sr_foreign,
+                      (_tone(sr_foreign, f0=200 + 40 * i) * 32767
+                       ).astype(np.int16))
+        rows.append(f"{uid}|raw text {i}|normalized text {i}.")
+    (root / "metadata.csv").write_text("\n".join(rows), encoding="utf-8")
+
+    utts = walk_ljspeech(str(root))
+    assert len(utts) == 3
+    assert utts[0].text == "normalized text 0."  # prefers normalized column
+    assert utts[0].speaker_id == 0
+
+    out = tmp_path / "patterns"
+    generate_patterns(utts, FAST_AUDIO, str(out), num_workers=1)
+    ds = PatternDataset(str(out))
+    assert len(ds) == 3
+    item = ds.load(0)
+    assert item["mel"].shape[1] == FAST_AUDIO.num_mels
+    assert item["mel"].shape[0] > 10  # ~1.2 s of frames survived trimming
+
+
+def test_vctk_walker_multispeaker(tmp_path):
+    """VCTK layout (txt/<spk>/*.txt + wav48/<spk>/*.wav): per-speaker ids
+    assigned in sorted order; utterances without wavs are skipped."""
+    import numpy as np
+    from scipy.io import wavfile
+    from gst_tacotron_tpu.data.pattern import generate_patterns, walk_vctk
+    from gst_tacotron_tpu.data.loader import PatternDataset
+
+    root = tmp_path / "vctk"
+    sr = FAST_AUDIO.sample_rate
+    for spk in ("p225", "p226"):
+        (root / "txt" / spk).mkdir(parents=True)
+        (root / "wav48" / spk).mkdir(parents=True)
+        for j in range(2):
+            uid = f"{spk}_{j:03d}"
+            (root / "txt" / spk / (uid + ".txt")).write_text(
+                f"sentence {j} for {spk}.")
+            wavfile.write(str(root / "wav48" / spk / (uid + ".wav")), sr,
+                          (_tone(sr) * 32767).astype(np.int16))
+    # one orphan transcript with no wav: must be skipped, not crash
+    (root / "txt" / "p225" / "p225_999.txt").write_text("orphan.")
+
+    utts = walk_vctk(str(root))
+    assert len(utts) == 4
+    assert {u.speaker for u in utts} == {"p225", "p226"}
+    assert {u.speaker_id for u in utts} == {0, 1}
+
+    out = tmp_path / "patterns"
+    generate_patterns(utts, FAST_AUDIO, str(out), num_workers=1)
+    ds = PatternDataset(str(out))
+    assert ds.num_speakers == 2
+    assert {e["speaker_id"] for e in ds.entries} == {0, 1}
