@@ -522,6 +522,13 @@ def main(argv=None):
     p.add_argument("--workdir", required=True)
     p.add_argument("--steps", type=int)
     p.add_argument("--model-parallelism", type=int, default=1)
+    p.add_argument("--coordinator",
+                   help="multi-host: host:port of process 0 "
+                        "(jax.distributed coordinator)")
+    p.add_argument("--num-processes", type=int,
+                   help="multi-host: total process count")
+    p.add_argument("--process-id", type=int,
+                   help="multi-host: this process's rank")
     p.add_argument("--profile",
                    help="capture a device trace of ~20 post-compile train "
                         "steps into this directory (TensorBoard/Perfetto)")
@@ -531,6 +538,10 @@ def main(argv=None):
     cfg = load_config(args.config) if args.config else get_preset(args.preset)
     if args.overrides:
         cfg = apply_overrides(cfg, parse_cli_overrides(args.overrides))
+
+    from .parallel import initialize_distributed
+    initialize_distributed(args.coordinator, args.num_processes,
+                           args.process_id)
 
     mesh = None
     n_dev = len(jax.devices())

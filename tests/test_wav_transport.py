@@ -223,3 +223,27 @@ def test_device_corpus_size_guard(pattern_dir, tmp_path):
                        "data.device_corpus_max_gb": 1e-9})
     with pytest.raises(ValueError, match="device_corpus_max_gb"):
         Trainer(cfg, pattern_dir, str(tmp_path / "y"))
+
+
+def test_device_corpus_resume_matches_straight_run(pattern_dir, tmp_path):
+    """Checkpoint-resume under device_corpus continues the deterministic
+    index stream: train 2 + resume to 4 == straight run to 4."""
+    cfg = small_cfg("gst_lj", wav_transport=True,
+                    **{"data.device_corpus": True,
+                       "train.checkpoint_every": 2})
+    t1 = Trainer(cfg, pattern_dir, str(tmp_path / "a"))
+    t1.train(total_steps=2)
+    t2 = Trainer(cfg, pattern_dir, str(tmp_path / "a"))
+    assert t2.restore_if_available() and int(t2.state.step) == 2
+    s_resumed = t2.train(total_steps=4)
+
+    t3 = Trainer(cfg, pattern_dir, str(tmp_path / "b"))
+    s_straight = t3.train(total_steps=4)
+
+    key = lambda kv: str(kv[0])
+    import jax
+    for (kw, vw), (kc, vc) in zip(
+            sorted(jax.tree_util.tree_flatten_with_path(s_resumed.params)[0], key=key),
+            sorted(jax.tree_util.tree_flatten_with_path(s_straight.params)[0], key=key)):
+        np.testing.assert_allclose(np.asarray(vw), np.asarray(vc),
+                                   atol=1e-6, err_msg=str(kw))
