@@ -289,6 +289,10 @@ class BucketedLoader:
         """The same deterministic batch stream as `stream`, but yielding
         (corpus row ids, bucket spec) instead of assembled arrays — the
         device-corpus train step gathers the rows in HBM."""
+        if not hasattr(self, "corpus_row"):
+            raise RuntimeError(
+                "stream_indices requires build_wav_corpus() first "
+                "(it defines the dataset-index -> corpus-row map)")
         bpe = max(1, self.batches_per_epoch())
         epoch, skip = divmod(start_batch, bpe)
         while True:
