@@ -42,6 +42,29 @@ class MetricLogger:
             self._tb.close()
 
 
+def mel_cepstral_distortion(mel_a, mel_b, num_coeffs: int = 13) -> float:
+    """MCD (dB) between two normalized mel sequences (T, M), the standard
+    spectral-quality proxy: DCT-II cepstra (c1..cK, c0 energy excluded),
+    10*sqrt(2)/ln10 * mean frame-wise L2. Sequences are truncated to the
+    shorter length. Pure numpy — an eval metric, not a training op."""
+    import numpy as np
+
+    t = min(mel_a.shape[0], mel_b.shape[0])
+    if t == 0:
+        return float("nan")
+    a = np.asarray(mel_a[:t], np.float64)
+    b = np.asarray(mel_b[:t], np.float64)
+    m = a.shape[1]
+    # DCT-II basis (orthogonal), rows = cepstral index
+    n = np.arange(m)
+    k = np.arange(1, num_coeffs + 1)[:, None]
+    basis = np.cos(np.pi * k * (2 * n[None, :] + 1) / (2 * m))
+    ca = a @ basis.T
+    cb = b @ basis.T
+    const = 10.0 * np.sqrt(2.0) / np.log(10.0)
+    return float(const * np.mean(np.linalg.norm(ca - cb, axis=1)))
+
+
 def synthesis_metrics(num_audio_seconds: float, wall_seconds: float,
                       decode_steps: int, num_chips: int) -> Dict[str, float]:
     """The BASELINE.json:2 metric triple."""

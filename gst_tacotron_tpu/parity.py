@@ -24,6 +24,7 @@ class ParityResult:
     name: str
     mel_mae: float
     mel_max_err: float
+    mcd_db: float
     allclose_1e2: bool
     allclose_1e3: bool
 
@@ -53,10 +54,13 @@ def run_parity(synth: Synthesizer, fixture_dir: str,
         got = out["mel"][0, :frames]
         exp = expected[:frames]
         err = np.abs(got - exp)
+        from .metrics import mel_cepstral_distortion
+
         results.append(ParityResult(
             name=fname,
             mel_mae=float(err.mean()),
             mel_max_err=float(err.max()),
+            mcd_db=mel_cepstral_distortion(got, exp),
             allclose_1e2=bool(np.allclose(got, exp, atol=1e-2)),
             allclose_1e3=bool(np.allclose(got, exp, atol=1e-3)),
         ))

@@ -59,3 +59,30 @@ def test_parity_detects_drift(synth, tmp_path):
     results = run_parity(synth, fdir)
     assert results[0].mel_mae > 0.01
     assert not results[0].allclose_1e3
+
+
+def test_mel_cepstral_distortion_properties():
+    """MCD: 0 for identical inputs, positive and scale-monotone otherwise,
+    agrees with a direct per-frame computation."""
+    import numpy as np
+    from gst_tacotron_tpu.metrics import mel_cepstral_distortion
+
+    rng = np.random.default_rng(0)
+    a = rng.random((40, 80)).astype(np.float32)
+    assert mel_cepstral_distortion(a, a) == 0.0
+    d1 = mel_cepstral_distortion(a, a + 0.01)
+    d2 = mel_cepstral_distortion(a, a + 0.05)
+    assert 0.0 < d1 < d2
+    # truncation to the shorter sequence
+    assert mel_cepstral_distortion(a, a[:20]) == 0.0
+    # cross-check one frame against an explicit DCT
+    b = a + 0.02 * rng.standard_normal(a.shape).astype(np.float32)
+    m = a.shape[1]
+    n = np.arange(m)
+    k = np.arange(1, 14)[:, None]
+    basis = np.cos(np.pi * k * (2 * n[None, :] + 1) / (2 * m))
+    diff = (a - b) @ basis.T
+    expect = 10 * np.sqrt(2) / np.log(10) * np.mean(
+        np.linalg.norm(diff, axis=1))
+    got = mel_cepstral_distortion(a, b)
+    np.testing.assert_allclose(got, expect, rtol=1e-6)
