@@ -299,8 +299,9 @@ def generate_patterns(
 
 
 def main(argv: Optional[List[str]] = None) -> None:
-    from ..utils.platform import respect_platforms_env
+    from ..utils.platform import enable_compile_cache, respect_platforms_env
     respect_platforms_env()
+    enable_compile_cache()
     p = argparse.ArgumentParser(description="Offline pattern generation")
     p.add_argument("--corpus", choices=["ljspeech", "vctk", "synthetic"],
                    required=True)

@@ -373,8 +373,9 @@ def main(argv=None):
     alignment PNGs."""
     import argparse
 
-    from .utils.platform import respect_platforms_env
+    from .utils.platform import enable_compile_cache, respect_platforms_env
     respect_platforms_env()
+    enable_compile_cache()
 
     from .config import apply_overrides, get_preset, load_config, parse_cli_overrides
     from .checkpoint import CheckpointManager

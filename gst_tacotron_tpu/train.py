@@ -513,8 +513,9 @@ def default_eval_hook(trainer: "Trainer", step: int) -> None:
 
 
 def main(argv=None):
-    from .utils.platform import respect_platforms_env
+    from .utils.platform import enable_compile_cache, respect_platforms_env
     respect_platforms_env()
+    enable_compile_cache()
     p = argparse.ArgumentParser(description="Train GST-Tacotron (TPU-native)")
     p.add_argument("--preset", default="taco1_lj")
     p.add_argument("--config", help="config JSON path (overrides preset)")

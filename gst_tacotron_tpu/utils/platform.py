@@ -26,3 +26,20 @@ def respect_platforms_env() -> None:
             jax.config.update("jax_platforms", want)
         except Exception:
             pass
+
+
+def enable_compile_cache(path: str = "/tmp/gst_tacotron_jax_cache") -> None:
+    """Enable JAX's persistent compilation cache (works through the axon
+    remote-compile path — repeat compiles drop from minutes to seconds;
+    CLAUDE.md #13). Called by every TPU-facing CLI. Override the location
+    with GST_TACOTRON_JAX_CACHE; set it empty to disable."""
+    path = os.environ.get("GST_TACOTRON_JAX_CACHE", path)
+    if not path:
+        return
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass

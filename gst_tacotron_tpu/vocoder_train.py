@@ -212,8 +212,9 @@ class VocoderTrainer:
 
 
 def main(argv=None):
-    from .utils.platform import respect_platforms_env
+    from .utils.platform import enable_compile_cache, respect_platforms_env
     respect_platforms_env()
+    enable_compile_cache()
     p = argparse.ArgumentParser(description="Train the WaveRNN vocoder stage")
     p.add_argument("--preset", default="gst_wavernn")
     p.add_argument("--config")
