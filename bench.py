@@ -32,17 +32,11 @@ def log(*a):
 
 
 def _enable_compile_cache():
-    """Persistent compilation cache: remote compiles on this runtime are
-    slow and high-variance (40s-10min); caching makes repeat runs stable."""
-    import jax
+    """Persistent compilation cache (remote compiles here are slow and
+    high-variance); single source of truth is utils/platform.py."""
+    from gst_tacotron_tpu.utils.platform import enable_compile_cache
 
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          "/tmp/gst_tacotron_jax_cache")
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception as e:
-        log(f"compilation cache unavailable: {e}")
+    enable_compile_cache()
 
 
 def build(cfg_overrides=None, checkpoint_workdir=None):

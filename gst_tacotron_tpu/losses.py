@@ -47,6 +47,7 @@ def compute_losses(
     batch: Dict[str, jnp.ndarray],
     loss_cfg: LossConfig,
     audio_cfg: AudioConfig,
+    reduction_factor: Optional[int] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Returns {"loss", "mel_loss", "linear_loss", "stop_loss"}."""
     # losses always accumulate in float32 (outputs may be bfloat16)
@@ -99,9 +100,13 @@ def compute_losses(
     }
     if (loss_cfg.guided_attention_weight > 0.0 and "alignments" in outputs
             and mel_lengths is not None and "token_lengths" in batch):
+        if reduction_factor is None:
+            # fallback reconstruction for callers that predate the explicit
+            # parameter; valid only while mel frames == r * decoder steps
+            reduction_factor = max(time // outputs["alignments"].shape[1], 1)
         ga = guided_attention_loss(
             outputs["alignments"], batch["token_lengths"], mel_lengths,
-            reduction_factor=max(time // outputs["alignments"].shape[1], 1),
+            reduction_factor=reduction_factor,
             sigma=loss_cfg.guided_attention_sigma,
         )
         out["guided_loss"] = ga

@@ -19,10 +19,11 @@ Two cooperating mechanisms:
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Dict, Optional
+from typing import Any, Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import Config
@@ -183,3 +184,73 @@ class DistributedSynthesizer:
         else:
             fn = self._infer_for(steps, presence)
         return fn(self.variables, *args, jax.random.PRNGKey(seed))
+
+    # -- convenience front-end (same host prep as synthesize.Synthesizer) ----
+
+    def synthesize(self, texts: Sequence[str],
+                   reference_wavs: Optional[Sequence[np.ndarray]] = None,
+                   token_weights: Optional[np.ndarray] = None,
+                   speaker_ids: Optional[Sequence[int]] = None,
+                   text_pad_multiple: int = 32,
+                   **call_kwargs) -> Dict[str, np.ndarray]:
+        """Text/ref-wav front-end over `__call__` (docs/multihost.md §5).
+
+        Tokenizes texts, extracts GST reference mels on-device, defaults to
+        neutral token weights for GST configs with no style source, and pads
+        the batch up to a multiple of the data-axis size (padding rows are
+        trimmed from the returned host arrays). `call_kwargs` pass through to
+        `__call__` (seed / max_steps / chunked / chunk_steps / ...).
+        """
+        from ..text import batch_text_to_ids
+
+        cfg = self.cfg
+        n = len(texts)
+        tokens, lengths = batch_text_to_ids(texts)
+        pad_t = -tokens.shape[1] % text_pad_multiple
+        tokens = np.pad(tokens, ((0, 0), (0, pad_t)))
+
+        ref_mel = ref_lengths = None
+        if cfg.model.gst.enabled and reference_wavs is not None:
+            from ..dsp.device_features import DeviceFeatureExtractor
+
+            mels = [m for m, _ in DeviceFeatureExtractor(cfg.audio).extract(
+                [np.asarray(w, np.float32) for w in reference_wavs])]
+            t_max = max(m.shape[0] for m in mels)
+            t_max += -t_max % 64
+            ref_mel = np.zeros((n, t_max, cfg.model.num_mels), np.float32)
+            ref_lengths = np.array([m.shape[0] for m in mels], np.int32)
+            for i, m in enumerate(mels):
+                ref_mel[i, : m.shape[0]] = m
+        elif cfg.model.gst.enabled and token_weights is None:
+            token_weights = np.full(
+                (n, cfg.model.gst.num_tokens),
+                1.0 / cfg.model.gst.num_tokens, np.float32)
+
+        spk = None
+        if cfg.model.num_speakers > 1:
+            spk = np.asarray(
+                speaker_ids if speaker_ids is not None else [0] * n, np.int32)
+
+        # batch must divide the data axis: repeat the last row as padding
+        shards = self.mesh.shape[DATA_AXIS]
+        pad_b = -n % shards
+
+        def pad_rows(a):
+            if a is None or pad_b == 0:
+                return a
+            return np.concatenate([a, np.repeat(a[-1:], pad_b, axis=0)], 0)
+
+        out = self(
+            pad_rows(tokens), pad_rows(np.asarray(lengths)),
+            ref_mel=pad_rows(ref_mel), ref_mel_lengths=pad_rows(ref_lengths),
+            token_weights=pad_rows(token_weights), speaker_ids=pad_rows(spk),
+            **call_kwargs,
+        )
+        result = {}
+        for k, v in out.items():
+            a = np.asarray(v)
+            result[k] = a[:n] if a.ndim and a.shape[0] == n + pad_b else a
+        if "frame_lengths" in result:
+            result["wav_lengths"] = (
+                result["frame_lengths"] * cfg.audio.hop_length)
+        return result

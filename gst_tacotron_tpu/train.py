@@ -184,7 +184,9 @@ def train_step(model: GSTTacotron, tx: optax.GradientTransformation, cfg: Config
             mutable=["batch_stats"],
             **kwargs,
         )
-        losses = compute_losses(outputs, batch, cfg.loss, cfg.audio)
+        losses = compute_losses(
+            outputs, batch, cfg.loss, cfg.audio,
+            reduction_factor=cfg.model.decoder.reduction_factor)
         return losses["loss"], (losses, mutated.get("batch_stats", {}))
 
     grads, (losses, new_batch_stats) = jax.grad(loss_fn, has_aux=True)(state.params)
@@ -269,7 +271,9 @@ def eval_step(model: GSTTacotron, cfg: Config, state: TrainState,
         rngs={"dropout": jax.random.fold_in(state.rng, 2 ** 31 - 1)},
         **kwargs,
     )
-    losses = compute_losses(outputs, batch, cfg.loss, cfg.audio)
+    losses = compute_losses(
+        outputs, batch, cfg.loss, cfg.audio,
+        reduction_factor=cfg.model.decoder.reduction_factor)
     return {f"eval_{k}": v for k, v in losses.items()}
 
 

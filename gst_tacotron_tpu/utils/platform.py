@@ -40,6 +40,7 @@ def enable_compile_cache(path: str = "/tmp/gst_tacotron_jax_cache") -> None:
 
     try:
         jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass

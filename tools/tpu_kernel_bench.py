@@ -71,8 +71,14 @@ def roofline(name, flops, bytes_moved, seconds, peaks) -> dict:
     return out
 
 
-def decode_step_flops(cfg, batch, t_mem) -> int:
-    """FLOPs of ONE decoder step (the kernel's matmul graph), from config."""
+def decode_step_flops(cfg, batch, t_mem, dense_band: bool = False) -> int:
+    """FLOPs of ONE decoder step (the kernel's matmul graph), from config.
+
+    dense_band=False counts the full banded-Toeplitz location contraction the
+    MXU actually executes (band zeros included) — the utilization view.
+    dense_band=True counts only the band's nonzero taps — the useful-work
+    view (the honest numerator for %-of-SOL; the zero band flatters it ~2x
+    at config-3 lengths)."""
     d = cfg.model.decoder
     a = cfg.model.attention
     m = cfg.model.num_mels
@@ -91,7 +97,12 @@ def decode_step_flops(cfg, batch, t_mem) -> int:
         # banded-Toeplitz location matmul [prev;cum] @ wloc: the MXU executes
         # the full (loc_c*T) x (T*A) contraction (band zeros included)
         c = 2 if a.cumulative else 1
-        mm += c * t_mem * t_mem * a.dim
+        if dense_band:
+            # only the band's nonzeros do useful work: each output column
+            # touches at most `location_kernel_size` input positions
+            mm += c * t_mem * min(a.location_kernel_size, t_mem) * a.dim
+        else:
+            mm += c * t_mem * t_mem * a.dim
     mm += t_mem * enc                                        # context matvec
     dec_in = d.attention_rnn_dim + enc
     mm += dec_in * d.decoder_rnn_dim                         # input proj
@@ -393,6 +404,13 @@ def main():
                  + 4 * lsa_steps * b_pad * (256 + t_pad))
     report["roofline"].append(
         roofline("pallas_lsa_decode", lsa_flops, lsa_bytes, dt_lsa, peaks))
+    # useful-work view: band zeros excluded (VERDICT r2 — the dense
+    # contraction flatters %-of-SOL ~2x at config-3 lengths)
+    lsa_flops_dense = lsa_steps * decode_step_flops(
+        cfg3, b_pad, t_pad, dense_band=True)
+    report["roofline"].append(roofline(
+        "pallas_lsa_decode_useful_band", lsa_flops_dense, lsa_bytes,
+        dt_lsa, peaks))
 
     # ---- WaveRNN AR sampling: throughput scaling over streams --------------
     # The sampler is latency-bound per step (one GRU-512 step per audio
