@@ -142,6 +142,179 @@ def keras_bn_params(arrays: Mapping[str, np.ndarray], prefix: str
     )
 
 
+def convert_conv_bank(kernels) -> np.ndarray:
+    """K Keras Conv1D SAME kernels (widths 1..K, each (k, C_in, C_out)) ->
+    our ConvBankBlock's fused `bank_kernel` block matrix
+    (nshift*C_in, K*C_out); see models/modules.py::ConvBankBlock.tap_mask.
+
+    Output position t of width-k SAME conv reads x[t + j - (k-1)//2] * W[j];
+    our shifted-copy s covers x[t + s], so tap j of conv k lands in shift
+    block s = j - (k-1)//2.
+    """
+    bank_k = len(kernels)
+    c_in, channels = kernels[0].shape[1], kernels[0].shape[2]
+    smin = -((bank_k - 1) // 2)
+    smax = bank_k // 2
+    nshift = smax - smin + 1
+    w4 = np.zeros((nshift, c_in, bank_k, channels), np.float32)
+    for k in range(1, bank_k + 1):
+        kern = np.asarray(kernels[k - 1], np.float32)
+        assert kern.shape == (k, c_in, channels), kern.shape
+        for j in range(k):
+            w4[j - (k - 1) // 2 - smin, :, k - 1, :] = kern[j]
+    return w4.reshape(nshift * c_in, bank_k * channels)
+
+
+def import_cbhg(arrays: Mapping[str, np.ndarray], prefix: str, bank_k: int,
+                num_projs: int, num_highways: int
+                ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Keras CBHG (export convention of tests/keras_ref_model.py::KerasCBHG)
+    at `prefix` -> (params, batch_stats) subtrees for models/modules.py::CBHG."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    params["bank"] = {"bank_kernel": convert_conv_bank([
+        keras_variable(arrays, f"{prefix}/bank_conv_{k}", "kernel")
+        for k in range(bank_k)
+    ])}
+    bn_p, bn_s = keras_bn_params(arrays, f"{prefix}/bank_bn")
+    params["bank"]["bn"] = bn_p
+    stats["bank"] = {"bn": bn_s}
+    for i in range(num_projs):
+        params[f"proj_{i}"] = {
+            "kernel": keras_variable(arrays, f"{prefix}/proj_{i}", "kernel")}
+        p, s = keras_bn_params(arrays, f"{prefix}/proj_bn_{i}")
+        params[f"proj_bn_{i}"] = p
+        stats[f"proj_bn_{i}"] = s
+    for opt in ("residual_proj", "pre_highway"):
+        key = f"{prefix}/{opt}/kernel{_ATTR}"
+        alt = f"{prefix}/{opt}/_kernel{_ATTR}"
+        if key in arrays or alt in arrays:
+            params[opt] = {
+                "kernel": keras_variable(arrays, f"{prefix}/{opt}", "kernel"),
+                "bias": keras_variable(arrays, f"{prefix}/{opt}", "bias"),
+            }
+    for i in range(num_highways):
+        params[f"highway_{i}"] = {
+            "h": {
+                "kernel": keras_variable(arrays, f"{prefix}/highway_{i}_h", "kernel"),
+                "bias": keras_variable(arrays, f"{prefix}/highway_{i}_h", "bias"),
+            },
+            "t": {
+                "kernel": keras_variable(arrays, f"{prefix}/highway_{i}_t", "kernel"),
+                "bias": keras_variable(arrays, f"{prefix}/highway_{i}_t", "bias"),
+            },
+        }
+    params["bigru"] = {
+        "forward": keras_gru_params(arrays, f"{prefix}/gru_fwd"),
+        "backward": keras_gru_params(arrays, f"{prefix}/gru_bwd"),
+    }
+    return params, stats
+
+
+def _dense(arrays, prefix, use_bias=True) -> Dict[str, np.ndarray]:
+    p = {"kernel": keras_variable(arrays, prefix, "kernel")}
+    if use_bias:
+        p["bias"] = keras_variable(arrays, prefix, "bias")
+    return p
+
+
+def import_gst_tacotron(ckpt_path: str, cfg) -> Dict[str, Any]:
+    """Import a FULL reference-architecture checkpoint (export convention of
+    tests/keras_ref_model.py::KerasGSTTacotron.save_checkpoint) into the
+    complete GSTTacotron variable tree {"params", "batch_stats"}.
+
+    cfg is our ModelConfig: layer counts/kinds are read from it, so the same
+    importer covers Bahdanau and location-sensitive decoder cells and both
+    CBHGs. (SURVEY.md §5 "one-way importer ... for the allclose-parity
+    tests"; the reference mount is empty, so the naming convention is defined
+    by keras_ref_model.py — a populated reference checkpoint would be
+    re-exported into it by a ~30-line re-save script.)
+    """
+    arrays = load_tf_checkpoint_arrays(ckpt_path)
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    # -- encoder
+    enc_p: Dict[str, Any] = {
+        "embedding": {
+            "embedding": keras_variable(arrays, "encoder/embedding",
+                                        "embeddings")},
+        "prenet": {
+            f"dense_{i}": _dense(arrays, f"encoder/prenet_{i}")
+            for i in range(len(cfg.encoder.prenet_dims))},
+    }
+    cb_p, cb_s = import_cbhg(
+        arrays, "encoder/cbhg", cfg.encoder.cbhg_bank_k,
+        len(cfg.encoder.cbhg_proj_channels), cfg.encoder.cbhg_highway_layers)
+    enc_p["cbhg"] = cb_p
+    params["encoder"] = enc_p
+    stats["encoder"] = {"cbhg": cb_s}
+
+    # -- GST
+    if cfg.gst.enabled:
+        ref_p: Dict[str, Any] = {}
+        ref_s: Dict[str, Any] = {}
+        for i in range(len(cfg.gst.ref_conv_channels)):
+            ref_p[f"conv_{i}"] = {
+                "kernel": keras_variable(arrays, f"gst/ref_conv_{i}", "kernel")}
+            p, s = keras_bn_params(arrays, f"gst/ref_bn_{i}")
+            ref_p[f"bn_{i}"] = p
+            ref_s[f"bn_{i}"] = s
+        ref_p["gru"] = keras_gru_params(arrays, "gst/ref_gru")
+        params["gst"] = {
+            "reference_encoder": ref_p,
+            "stl": {
+                "tokens": arrays[f"gst/tokens{_ATTR}"],
+                "query_proj": _dense(arrays, "gst/stl_q", use_bias=False),
+                "key_proj": _dense(arrays, "gst/stl_k", use_bias=False),
+                "value_proj": _dense(arrays, "gst/stl_v", use_bias=False),
+            },
+        }
+        stats["gst"] = {"reference_encoder": ref_s}
+
+    # -- decoder cell
+    attn_p: Dict[str, Any] = {
+        "query_proj": _dense(arrays, "decoder/attn_query", use_bias=False),
+        "memory_proj": _dense(arrays, "decoder/attn_memory", use_bias=False),
+        "score_v": _dense(arrays, "decoder/attn_v", use_bias=False),
+    }
+    if cfg.attention.kind == "location_sensitive":
+        attn_p["location_conv"] = {
+            "kernel": keras_variable(arrays, "decoder/loc_conv", "kernel")}
+        attn_p["location_proj"] = _dense(arrays, "decoder/loc_proj",
+                                         use_bias=False)
+    cell_p: Dict[str, Any] = {
+        "prenet": {
+            f"dense_{i}": _dense(arrays, f"decoder/prenet_{i}")
+            for i in range(len(cfg.decoder.prenet_dims))},
+        "attention_rnn": keras_gru_params(arrays, "decoder/attention_rnn"),
+        "attention": attn_p,
+        "decoder_input_proj": _dense(arrays, "decoder/dec_input_proj"),
+        "frame_proj": _dense(arrays, "decoder/frame_proj"),
+        "stop_proj": _dense(arrays, "decoder/stop_proj"),
+    }
+    for i in range(cfg.decoder.num_decoder_rnn_layers):
+        cell_p[f"decoder_rnn_{i}"] = keras_gru_params(arrays,
+                                                      f"decoder/rnn_{i}")
+    params["decoder"] = {"cell": cell_p}
+
+    # -- postnet
+    po_p, po_s = import_cbhg(
+        arrays, "postnet/cbhg", cfg.postnet.cbhg_bank_k,
+        len(cfg.postnet.cbhg_proj_channels), cfg.postnet.cbhg_highway_layers)
+    params["postnet"] = {
+        "cbhg": po_p,
+        "linear_proj": _dense(arrays, "postnet/linear"),
+    }
+    stats["postnet"] = {"cbhg": po_s}
+
+    def to_jnp(tree):
+        return {k: (to_jnp(v) if isinstance(v, dict) else np.asarray(v))
+                for k, v in tree.items()}
+
+    return {"params": to_jnp(params), "batch_stats": to_jnp(stats)}
+
+
 def import_reference_encoder(ckpt_path: str, num_conv_layers: int,
                              conv_prefix: str = "conv", bn_prefix: str = "bn",
                              gru_prefix: str = "gru") -> Dict[str, Any]:
