@@ -44,6 +44,8 @@ def run_parity(synth: Synthesizer, fixture_dir: str,
         if not fname.endswith(".npz"):
             continue
         with np.load(os.path.join(fixture_dir, fname), allow_pickle=False) as z:
+            if "text" not in z or "mel" not in z:
+                continue  # non-fixture npz (e.g. the golden params pack)
             text = str(z["text"])
             expected = z["mel"]
             ref_wav = z["ref_wav"] if "ref_wav" in z else None

@@ -1,0 +1,60 @@
+"""Golden-fixture regression gate (SURVEY.md §4 "Golden/parity"; VERDICT r2
+#3): the committed fixture pack under tests/fixtures/golden/ pins the REAL
+synthesis path's output. Any numeric drift — DSP, model modules, decoder
+scan, tokenizer, PRNG plumbing — fails here with strict thresholds.
+
+Fixtures regenerate via tools/make_golden_fixtures.py (only on intentional
+semantic changes; the regeneration script is the single source of truth for
+how they were made)."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+FIXTURE_DIR = os.path.join(os.path.dirname(__file__), "fixtures", "golden")
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir, "tools"))
+
+
+@pytest.fixture(scope="module")
+def golden_synth():
+    from make_golden_fixtures import build_synth
+
+    return build_synth(FIXTURE_DIR)
+
+
+def test_golden_fixture_pack_is_committed():
+    names = sorted(os.listdir(FIXTURE_DIR))
+    assert "config.json" in names and "params.npz" in names
+    assert sum(n.endswith(".npz") and n != "params.npz" for n in names) >= 3
+
+
+def test_golden_parity_strict(golden_synth):
+    from gst_tacotron_tpu.parity import run_parity
+
+    _, synth = golden_synth
+    results = run_parity(synth, FIXTURE_DIR)
+    assert len(results) >= 3
+    for r in results:
+        # same code, same seed, same platform: drift budget is float noise
+        assert r.mel_mae < 1e-4, (r.name, r.mel_mae)
+        assert r.allclose_1e3, (r.name, r.mel_max_err)
+        assert r.mcd_db < 0.1, (r.name, r.mcd_db)
+
+
+def test_golden_parity_catches_drift(golden_synth):
+    """Negative control: a perturbed model must FAIL the gate."""
+    import jax
+
+    from gst_tacotron_tpu.parity import run_parity
+    from gst_tacotron_tpu.synthesize import Synthesizer
+
+    cfg, synth = golden_synth
+    variables = jax.tree_util.tree_map(lambda x: x, synth.variables)
+    emb = variables["params"]["encoder"]["embedding"]["embedding"]
+    variables["params"]["encoder"]["embedding"]["embedding"] = emb * 1.02
+    bad = Synthesizer(cfg, synth.model, variables)
+    results = run_parity(bad, FIXTURE_DIR)
+    assert any(not r.allclose_1e3 for r in results)
