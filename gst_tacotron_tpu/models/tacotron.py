@@ -67,7 +67,12 @@ class GSTTacotron(nn.Module):
         speaker_ids: Optional[jnp.ndarray],
         train: bool,
         deterministic_prenet: bool = False,
+        precomputed_style: Optional[jnp.ndarray] = None,
     ):
+        """precomputed_style: a (B, style_dim) style embedding computed
+        OUTSIDE the flax GST module (e.g. the fused reference-encoder Pallas
+        path, ops/refenc_pallas.py::gst_style_from_params); when given, the
+        in-module GST is skipped and this embedding is concatenated instead."""
         c = self.cfg
         with jax.named_scope("encoder"):
             enc = self.encoder(tokens, token_lengths, train=train,
@@ -75,12 +80,15 @@ class GSTTacotron(nn.Module):
         parts = [enc]
         aux: Dict[str, Any] = {}
         if c.gst.enabled:
-            with jax.named_scope("gst"):
-                style, style_attn = self.gst(
-                    ref_mel, ref_mel_lengths, token_weights, train=train
-                )
+            if precomputed_style is not None:
+                style = precomputed_style
+            else:
+                with jax.named_scope("gst"):
+                    style, style_attn = self.gst(
+                        ref_mel, ref_mel_lengths, token_weights, train=train
+                    )
+                aux["style_attention"] = style_attn
             aux["style_embedding"] = style
-            aux["style_attention"] = style_attn
             parts.append(
                 jnp.broadcast_to(
                     style[:, None, :], (enc.shape[0], enc.shape[1], style.shape[-1])
@@ -147,11 +155,13 @@ class GSTTacotron(nn.Module):
         *,
         max_steps: Optional[int] = None,
         deterministic_prenet: bool = False,
+        precomputed_style: Optional[jnp.ndarray] = None,
     ) -> Dict[str, jnp.ndarray]:
         """Autoregressive synthesis (fused fixed-length scan; SURVEY.md §3.3)."""
         memory, aux = self._build_memory(
             tokens, token_lengths, ref_mel, ref_mel_lengths, token_weights,
             speaker_ids, False, deterministic_prenet,
+            precomputed_style=precomputed_style,
         )
         with jax.named_scope("decoder_ar_scan"):
             mel_out, stop_logits, alignments, frame_lengths = self.decoder.decode(

@@ -1,0 +1,228 @@
+"""Pallas TPU kernel: the GST reference-encoder conv stack, fused.
+
+Named per-chip speed-of-light target (BASELINE.json:5 "reference-encoder
+conv stack"; SURVEY.md §2.1 "GST reference encoder"). The XLA im2col form
+measured 2,281 us at (8, 256 frames) — 0.5% of SOL, all layout/transpose
+traffic on tiny tensors across ~25 separate HLO ops (KERNEL_BENCH_r02.json).
+This kernel runs the WHOLE 6-layer stack as one program per batch element:
+intermediates never leave VMEM, each 3x3 stride-2 SAME conv is one im2col
+matmul (patches built from 9 static strided VMEM slices), and the
+inference-mode BatchNorm is folded into a per-layer scale/bias epilogue.
+
+Inference-only (BN folded from running stats; no VJP) — training keeps the
+flax module path. A `gst_style_from_params` helper composes the kernel with
+the Pallas GRU and the style-token attention math to produce the style
+embedding straight from a GSTTacotron variables tree (the Synthesizer fast
+path).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.modules import BN_EPS
+
+
+def _out_hw(h: int, w: int) -> Tuple[int, int]:
+    return (h + 1) // 2, (w + 1) // 2
+
+
+def _conv_bn_relu(x, wmat, scale, bias, c_in: int, c_out: int):
+    """(H, W, C_in) -> (H', W', C_out): SAME 3x3 stride-2 im2col matmul with
+    the folded-BN epilogue; pure jnp on VMEM values."""
+    h, w = x.shape[0], x.shape[1]
+    h_out, w_out = _out_hw(h, w)
+    ph = max(0, (h_out - 1) * 2 + 3 - h)
+    pw = max(0, (w_out - 1) * 2 + 3 - w)
+    xp = jnp.pad(x, ((ph // 2, ph - ph // 2), (pw // 2, pw - pw // 2),
+                     (0, 0)))
+    patches = [
+        xp[di : di + 2 * h_out : 2, dj : dj + 2 * w_out : 2, :]
+        for di in range(3) for dj in range(3)
+    ]
+    xcat = jnp.concatenate(patches, axis=-1).reshape(h_out * w_out, 9 * c_in)
+    y = jnp.dot(xcat, wmat, preferred_element_type=jnp.float32)
+    y = jnp.maximum(y * scale + bias, 0.0)
+    return y.reshape(h_out, w_out, c_out)
+
+
+def _refenc_kernel(x_ref, *refs, channels: Sequence[int], t_in: int,
+                   f_in: int):
+    """One batch element: x_ref block (1, T, F); refs = per-layer
+    [wmat_0, scale_0, bias_0, ..., out_ref]."""
+    out_ref = refs[-1]
+    x = x_ref[0].reshape(t_in, f_in, 1)
+    c_in = 1
+    h, w = t_in, f_in
+    for li, c_out in enumerate(channels):
+        wmat = refs[3 * li][...]
+        scale = refs[3 * li + 1][...]   # (1, C_out)
+        bias = refs[3 * li + 2][...]
+        x = _conv_bn_relu(x, wmat, scale, bias, c_in, c_out)
+        h, w = _out_hw(h, w)
+        c_in = c_out
+    out_ref[0] = x.reshape(h, w * c_in)
+
+
+def fold_bn(bn_params: Dict[str, jnp.ndarray],
+            bn_stats: Dict[str, jnp.ndarray]
+            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Inference BatchNorm -> (scale, bias) epilogue, Keras eps convention."""
+    inv = bn_params["scale"] / jnp.sqrt(bn_stats["var"] + BN_EPS)
+    return inv, bn_params["bias"] - bn_stats["mean"] * inv
+
+
+def refenc_stack_pallas(
+    ref_mel: jnp.ndarray,
+    conv_kernels: Sequence[jnp.ndarray],
+    bn_scales: Sequence[jnp.ndarray],
+    bn_biases: Sequence[jnp.ndarray],
+    *,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(B, T, F) masked ref mel -> (B, T', F'*C_last) conv-stack features.
+
+    conv_kernels[i] is the flax (3, 3, C_in, C_out) kernel; BN already
+    folded to (scale, bias) per layer (fold_bn)."""
+    b, t, f = ref_mel.shape
+    channels = [int(k.shape[-1]) for k in conv_kernels]
+    h, w = t, f
+    for _ in channels:
+        h, w = _out_hw(h, w)
+    out_w = w * channels[-1]
+
+    args = []
+    in_specs = [pl.BlockSpec((1, t, f), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    for kern, sc, bi in zip(conv_kernels, bn_scales, bn_biases):
+        c_in, c_out = int(kern.shape[2]), int(kern.shape[3])
+        # (3, 3, C_in, C_out) -> (9*C_in, C_out) in the patch concat order
+        args.append(kern.astype(jnp.float32).reshape(9 * c_in, c_out))
+        args.append(sc.astype(jnp.float32).reshape(1, c_out))
+        args.append(bi.astype(jnp.float32).reshape(1, c_out))
+        for shape in ((9 * c_in, c_out), (1, c_out), (1, c_out)):
+            in_specs.append(
+                pl.BlockSpec(shape, lambda i, n=len(shape): (0,) * n,
+                             memory_space=pltpu.VMEM))
+
+    kernel = functools.partial(_refenc_kernel, channels=channels,
+                               t_in=t, f_in=f)
+    flops = 0
+    hh, ww, ci = t, f, 1
+    for c_out in channels:
+        ho, wo = _out_hw(hh, ww)
+        flops += 2 * ho * wo * 9 * ci * c_out
+        hh, ww, ci = ho, wo, c_out
+    out = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, h, out_w), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, out_w), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=b * flops,
+            bytes_accessed=4 * (b * t * f + b * h * out_w)
+            + 4 * sum(int(np.prod(k.shape)) for k in conv_kernels),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(ref_mel.astype(jnp.float32), *args)
+    return out
+
+
+def ref_encoder_pallas(
+    params: Dict, batch_stats: Dict, gst_cfg, ref_mel: jnp.ndarray,
+    mel_lengths: Optional[jnp.ndarray] = None, *, interpret: bool = False,
+    use_pallas_gru: bool = True,
+) -> jnp.ndarray:
+    """ReferenceEncoder forward from raw variables (inference): fused conv
+    stack kernel + GRU -> (B, ref_gru_dim) reference embedding. Numerics
+    mirror models/gst.py::ReferenceEncoder (cited there; SURVEY.md §2.1)."""
+    n_layers = len(gst_cfg.ref_conv_channels)
+    if mel_lengths is not None:
+        tmask = (jnp.arange(ref_mel.shape[1])[None, :]
+                 < mel_lengths[:, None]).astype(ref_mel.dtype)
+        ref_mel = ref_mel * tmask[:, :, None]
+    kernels = [params[f"conv_{i}"]["kernel"] for i in range(n_layers)]
+    scales, biases = [], []
+    for i in range(n_layers):
+        sc, bi = fold_bn(params[f"bn_{i}"], batch_stats[f"bn_{i}"])
+        scales.append(sc)
+        biases.append(bi)
+    feats = refenc_stack_pallas(ref_mel, kernels, scales, biases,
+                                interpret=interpret)  # (B, T', F'C)
+
+    stride_total = 2 ** n_layers
+    gru_lengths = None
+    if mel_lengths is not None:
+        gru_lengths = jnp.maximum(
+            1, (mel_lengths + stride_total - 1) // stride_total)
+    g = params["gru"]
+    if use_pallas_gru and not interpret:
+        from .gru_pallas import gru_scan_pallas
+
+        _, final = gru_scan_pallas(
+            feats, jnp.zeros((feats.shape[0], g["recurrent_kernel"].shape[0]),
+                             jnp.float32),
+            g["kernel"].astype(jnp.float32), g["bias"].astype(jnp.float32),
+            g["recurrent_kernel"].astype(jnp.float32),
+            g["recurrent_bias"].astype(jnp.float32),
+            lengths=gru_lengths,
+        )
+        return final
+    # jnp scan fallback (CPU / interpret parity)
+    from ..models.rnn import GRU
+
+    _, final = GRU(g["recurrent_kernel"].shape[0], allow_pallas=False).apply(
+        {"params": g}, feats, gru_lengths)
+    return final
+
+
+def gst_style_from_params(
+    variables: Dict, gst_cfg, ref_mel: Optional[jnp.ndarray],
+    mel_lengths: Optional[jnp.ndarray] = None,
+    token_weights: Optional[jnp.ndarray] = None, *,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full GST block from a GSTTacotron variables tree (inference fast
+    path): fused-kernel reference encoder + style-token multi-head attention
+    (models/gst.py::StyleTokenLayer math)."""
+    gp = variables["params"]["gst"]
+    c = gst_cfg
+    head_dim = c.style_dim // c.num_heads
+    if ref_mel is None:
+        assert token_weights is not None
+        ref = jnp.zeros((token_weights.shape[0], c.ref_gru_dim), jnp.float32)
+    else:
+        ref = ref_encoder_pallas(
+            gp["reference_encoder"],
+            variables["batch_stats"]["gst"]["reference_encoder"],
+            c, ref_mel, mel_lengths, interpret=interpret,
+        )
+    stl = gp["stl"]
+    keys_base = jnp.tanh(stl["tokens"])
+    q = ref @ stl["query_proj"]["kernel"]
+    k = keys_base @ stl["key_proj"]["kernel"]
+    v = keys_base @ stl["value_proj"]["kernel"]
+    b = q.shape[0]
+    q = q.reshape(b, c.num_heads, head_dim)
+    k = k.reshape(c.num_tokens, c.num_heads, head_dim)
+    v = v.reshape(c.num_tokens, c.num_heads, head_dim)
+    scores = jnp.einsum("bhd,nhd->bhn", q, k) / np.sqrt(head_dim)
+    attn = jax.nn.softmax(scores, axis=-1)
+    if token_weights is not None:
+        attn = jnp.broadcast_to(
+            token_weights[:, None, :].astype(attn.dtype), attn.shape)
+    style = jnp.einsum("bhn,nhd->bhd", attn, v).reshape(b, c.style_dim)
+    return style, attn

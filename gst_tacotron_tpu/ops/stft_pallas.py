@@ -189,6 +189,141 @@ def stft_features_pallas(
     )
 
 
+def _stft_fused_kernel(chunks_hbm, cos_ref, sin_ref, mel_ref,
+                       lin_out_ref, mel_out_ref,
+                       chunk_scr, frames_scr, mel_acc, dma_sem,
+                       *, k, norm, num_freq_tiles, normalize_linear):
+    """Framing fused INSIDE the kernel (VERDICT r2 #2a): each frame tile's
+    hop-chunk rows are DMA'd from HBM once (at j==0), the overlapped
+    (TILE_F, n_fft) frame matrix is assembled in VMEM from k shifted sublane
+    slices, and reused across all freq tiles — the (B*T, n_fft) frames
+    intermediate never exists in HBM (it cost the unfused kernel its lead
+    over the conv-fused XLA path: 8 MB written + read per 1024 frames)."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        dma = pltpu.make_async_copy(
+            chunks_hbm.at[b, pl.ds(i * TILE_F, TILE_F + k - 1), :],
+            chunk_scr, dma_sem,
+        )
+        dma.start()
+        dma.wait()
+        # frame t = chunks[t : t + k] flattened; k static shifted slices
+        frames_scr[...] = jnp.concatenate(
+            [chunk_scr[jj : jj + TILE_F, :] for jj in range(k)], axis=-1
+        )
+        mel_acc[...] = jnp.zeros_like(mel_acc)
+
+    frames = frames_scr[...]
+    real = jnp.dot(frames, cos_ref[...], preferred_element_type=jnp.float32)
+    imag = jnp.dot(frames, sin_ref[...], preferred_element_type=jnp.float32)
+    mag = jnp.sqrt(real * real + imag * imag)
+
+    if normalize_linear:
+        lin_out_ref[0] = _db_normalize(mag, norm)
+    else:
+        lin_out_ref[0] = mag
+
+    mel_acc[...] += jnp.dot(mag, mel_ref[...],
+                            preferred_element_type=jnp.float32)
+
+    @pl.when(j == num_freq_tiles - 1)
+    def _():
+        mel_out_ref[0] = _db_normalize(mel_acc[...], norm)
+
+
+def stft_features_pallas_fused(
+    wav: jnp.ndarray,
+    cfg: AudioConfig,
+    *,
+    normalize_linear: bool = True,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(B, L) ALREADY preemphasized + reflect-center-padded wav ->
+    (mel (B, T, n_mels), linear (B, T, n_freq)), normalized dB.
+
+    Same contract as JaxDSP.features_precentered, but the whole
+    frame+window+DFT+mel+companding pipeline is ONE Pallas program with the
+    framing done in VMEM (no frames intermediate in HBM). Requires
+    hop | n_fft (the repo-wide framing invariant)."""
+    cfg_hop, n_fft = cfg.hop_length, cfg.n_fft
+    assert n_fft % cfg_hop == 0, "hop must divide n_fft"
+    k = n_fft // cfg_hop
+    b, total = wav.shape
+    num_frames = 1 + (total - n_fft) // cfg_hop
+
+    cos_b, sin_b, mel_b, n_freq_pad = _bases(cfg)
+    t_pad = _round_up(max(num_frames, TILE_F), TILE_F)
+    # chunk view must cover t_pad + k - 1 rows of hop samples
+    need = (t_pad + k - 1) * cfg_hop
+    if need > total:
+        wav = jnp.pad(wav, ((0, 0), (0, need - total)))
+    chunks = wav[:, :need].reshape(b, t_pad + k - 1, cfg_hop)
+
+    n_mels_pad = mel_b.shape[1]
+    num_freq_tiles = n_freq_pad // TILE_K
+    grid = (b, t_pad // TILE_F, num_freq_tiles)
+
+    kernel = functools.partial(
+        _stft_fused_kernel,
+        k=k,
+        norm=_norm_consts(cfg),
+        num_freq_tiles=num_freq_tiles,
+        normalize_linear=normalize_linear,
+    )
+
+    lin, mel = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # chunks stay in HBM
+            pl.BlockSpec((n_fft, TILE_K), lambda b_, i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_fft, TILE_K), lambda b_, i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_K, n_mels_pad), lambda b_, i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TILE_F, TILE_K), lambda b_, i, j: (b_, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_F, n_mels_pad), lambda b_, i, j: (b_, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, t_pad, n_freq_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, t_pad, n_mels_pad), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((TILE_F + k - 1, cfg_hop), jnp.float32),
+            pltpu.VMEM((TILE_F, n_fft), jnp.float32),
+            pltpu.VMEM((TILE_F, n_mels_pad), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * t_pad * n_fft * n_freq_pad * 2
+            + 2 * b * t_pad * n_freq_pad * n_mels_pad,
+            bytes_accessed=4 * (
+                b * t_pad * cfg_hop + 2 * n_fft * n_freq_pad
+                + b * t_pad * (n_freq_pad + n_mels_pad)
+            ),
+            transcendentals=b * t_pad * (n_freq_pad + n_mels_pad),
+        ),
+        interpret=interpret,
+    )(chunks, jnp.asarray(cos_b), jnp.asarray(sin_b), jnp.asarray(mel_b))
+
+    return (
+        mel[:, :num_frames, : cfg.num_mels],
+        lin[:, :num_frames, : cfg.num_freq],
+    )
+
+
 class PallasDSP:
     """Drop-in feature extractor using the fused kernel (TPU path).
 

@@ -40,7 +40,7 @@ class Synthesizer:
     def __init__(self, cfg: Config, model: GSTTacotron, variables: Dict,
                  text_pad_multiple: int = 32, use_pallas_decoder: bool = False,
                  use_chunked_decoder: bool = False, chunk_steps: int = 64,
-                 vocoder=None):
+                 vocoder=None, use_pallas_refenc: Optional[bool] = None):
         """Decoder modes (mutually exclusive; default = fixed-length scan):
 
         use_pallas_decoder: route the AR decode through the fused
@@ -85,6 +85,15 @@ class Synthesizer:
                   "falling back to the XLA scan decoder")
         self.use_chunked_decoder = use_chunked_decoder and not self.use_pallas_decoder
         self.chunk_steps = chunk_steps
+        # GST fast path: fused reference-encoder conv-stack Pallas kernel +
+        # VMEM-resident GRU (ops/refenc_pallas.py). Inference-only; default
+        # on for TPU GST configs (parity: tests/test_refenc_pallas.py and
+        # the synth-path equivalence test), interpreter-gated off on CPU.
+        if use_pallas_refenc is None:
+            use_pallas_refenc = (
+                cfg.model.gst.enabled and jax.default_backend() != "cpu"
+            )
+        self.use_pallas_refenc = use_pallas_refenc and cfg.model.gst.enabled
         # Per-argument-buffer overhead on the axon runtime is ~10ms/buffer;
         # pass the whole variable tree as one flat buffer per dtype and carve
         # the leaves back out inside the program (utils/flatten.py).
@@ -110,18 +119,38 @@ class Synthesizer:
             )
             self._finish_jit = jax.jit(self._finish_fn)
 
+    # -- GST fast path (fused ref-encoder kernel) -----------------------------
+
+    def _fast_style(self, variables, ref_mel, ref_mel_lengths, token_weights):
+        """(style, style_attention) via ops/refenc_pallas.py, or (None, None)
+        to use the in-module flax GST."""
+        if not self.use_pallas_refenc or (
+                ref_mel is None and token_weights is None):
+            return None, None
+        from .ops.refenc_pallas import gst_style_from_params
+
+        return gst_style_from_params(
+            variables, self.cfg.model.gst, ref_mel, ref_mel_lengths,
+            token_weights, interpret=jax.default_backend() == "cpu",
+        )
+
     # -- pallas-decoder pipeline stages -------------------------------------
 
     def _encode_fn(self, flat, tokens, token_lengths, ref_mel,
                    ref_mel_lengths, speaker_ids, token_weights, rng):
         variables = self._fp.unpack(flat)
+        style, style_attn = self._fast_style(
+            variables, ref_mel, ref_mel_lengths, token_weights)
 
         def fn(mdl):
             memory, aux = mdl._build_memory(
                 tokens, token_lengths, ref_mel, ref_mel_lengths,
                 token_weights, speaker_ids, False,
+                precomputed_style=style,
             )
             keys = mdl.decoder.cell.precompute_keys(memory)
+            if style_attn is not None:
+                aux["style_attention"] = style_attn
             return memory, keys, aux
         return self.model.apply(variables, method=fn, rngs={"dropout": rng})
 
@@ -174,11 +203,15 @@ class Synthesizer:
         from .decode import chunked_decode
 
         variables = self._fp.unpack(flat)
+        style, style_attn = self._fast_style(
+            variables, ref_mel, ref_mel_lengths, token_weights)
         memory, aux = self.model.apply(
             variables, tokens, token_lengths, ref_mel, ref_mel_lengths,
-            token_weights, speaker_ids, False,
+            token_weights, speaker_ids, False, False, style,
             method=self.model._build_memory, rngs={"dropout": rng},
         )
+        if style_attn is not None:
+            aux["style_attention"] = style_attn
         out = chunked_decode(
             self.model, variables, memory, token_lengths, rng,
             chunk_steps=self.chunk_steps, max_steps=max_steps,
@@ -203,13 +236,17 @@ class Synthesizer:
                   ref_mel_lengths, speaker_ids, token_weights, rng,
                   *, max_steps: int):
         variables = self._fp.unpack(flat)
+        style, style_attn = self._fast_style(
+            variables, ref_mel, ref_mel_lengths, token_weights)
         out = self.model.apply(
             variables, tokens, token_lengths,
             ref_mel=ref_mel, ref_mel_lengths=ref_mel_lengths,
             speaker_ids=speaker_ids, token_weights=token_weights,
             method=self.model.infer, rngs={"dropout": rng},
-            max_steps=max_steps,
+            max_steps=max_steps, precomputed_style=style,
         )
+        if style_attn is not None:
+            out["style_attention"] = style_attn
         wav = (self.dsp.inv_linear_spectrogram(out["linear"])
                if self._inline_gl else None)
         # diagonality metric inside the jit: eager ops are pathologically
