@@ -392,9 +392,41 @@ def parse_cli_overrides(args: list[str]) -> dict[str, Any]:
 # ---------------------------------------------------------------------------
 
 
+# Round-2-validated training/vocoding hygiene, shipped as the preset default
+# (VERDICT r2 #7). Each item was measured better than the reference-exact
+# setting on this framework:
+#   * val_fraction 0.05 — held-out eval actually runs (eval_step/run_eval
+#     were dead under val_fraction=0);
+#   * stop_masked — stop-token BCE averaged over real frames + a short
+#     post-stop window instead of bucket padding (cleaner stop transitions);
+#   * fast Griffin-Lim (momentum 0.99, 30 iters) — spectral error 0.099 vs
+#     0.119 for the reference's plain 60 iters, at half the cost (README
+#     "Measured performance").
+# `reference_exact_overrides()` restores the reference-exact behavior for
+# parity work.
+VALIDATED_DEFAULTS = {
+    "data.val_fraction": 0.05,
+    "loss.stop_masked": True,
+    "audio.griffin_lim_momentum": 0.99,
+    "audio.griffin_lim_iters": 30,
+}
+
+
+def reference_exact_overrides() -> dict:
+    """Dotted overrides that undo VALIDATED_DEFAULTS — the reference-exact
+    training/vocoding behavior (plain 60-iter Griffin-Lim, unmasked stop
+    BCE, no held-out split), for checkpoint-parity experiments."""
+    return {
+        "data.val_fraction": 0.0,
+        "loss.stop_masked": False,
+        "audio.griffin_lim_momentum": 0.0,
+        "audio.griffin_lim_iters": 60,
+    }
+
+
 def preset_taco1_lj() -> Config:
     """Config 1: vanilla Tacotron-1, LJSpeech, Griffin-Lim, CPU-runnable."""
-    return Config(name="taco1_lj")
+    return apply_overrides(Config(name="taco1_lj"), VALIDATED_DEFAULTS)
 
 
 def preset_gst_lj() -> Config:

@@ -36,6 +36,41 @@ class MetricLogger:
         if self._tb is not None:
             self._tb.write_scalars(step, scalars)
 
+    def write_images(self, step: int, images: Dict[str, "object"]) -> None:
+        """TensorBoard image summaries (the reference writes alignment /
+        spectrogram images via tf.summary; SURVEY.md §2.1 logging row).
+        Values are (H, W) or (H, W, C) float arrays in [0, 1]."""
+        if self._tb is None:
+            return
+        import numpy as np
+
+        prepped = {}
+        for k, v in images.items():
+            a = np.asarray(v, np.float32)
+            lo, hi = float(a.min()), float(a.max())
+            a = (a - lo) / max(hi - lo, 1e-9)
+            if a.ndim == 2:
+                a = a[..., None]
+            prepped[k] = a[None]  # clu expects (N, H, W, C)
+        self._tb.write_images(step, prepped)
+
+    def write_audios(self, step: int, audios: Dict[str, "object"],
+                     sample_rate: int) -> None:
+        """TensorBoard audio summaries (reference tf.summary.audio). Values
+        are (S,) float waveforms in [-1, 1]."""
+        if self._tb is None:
+            return
+        import numpy as np
+
+        prepped = {
+            k: np.clip(np.asarray(v, np.float32), -1.0, 1.0)[None, :, None]
+            for k, v in audios.items()
+        }
+        try:
+            self._tb.write_audios(step, prepped, sample_rate=sample_rate)
+        except Exception:
+            pass  # some clu writers lack audio support; scalars still flow
+
     def close(self) -> None:
         self._jsonl.close()
         if self._tb is not None:

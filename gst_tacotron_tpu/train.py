@@ -514,6 +514,16 @@ def default_eval_hook(trainer: "Trainer", step: int) -> None:
         "diagonality": float(np.mean(out["diagonality"])),
         "mean_frames": float(np.mean(out["frame_lengths"])),
     }, prefix="eval")
+    # TensorBoard image/audio summaries (reference tf.summary parity;
+    # SURVEY.md §2.1 logging row): first eval sentence's alignment + wav
+    trainer.logger.write_images(step, {
+        "eval/alignment": np.asarray(out["alignments"][0]).T,
+        "eval/mel": np.asarray(out["mel"][0]).T,
+    })
+    wav_len = int(out["wav_lengths"][0])
+    trainer.logger.write_audios(
+        step, {"eval/wav": np.asarray(out["wav"][0][:wav_len])},
+        sample_rate=cfg.audio.sample_rate)
 
 
 def main(argv=None):

@@ -238,6 +238,60 @@ def main():
     report["pallas_us_per_step"] = dt_pal / args.steps * 1e6
     report["decode_speedup"] = dt_scan / dt_pal
 
+    # ---- Bahdanau decode: marginal per-step floor (VERDICT r2 #2c) ---------
+    # Fixed overhead (dispatch, memory setup) vs true per-step cost: run the
+    # same kernel/scan at 2x steps; marginal = (t_2N - t_N) / N. This is the
+    # honest us/step floor each path can reach at long decodes.
+    def make_pallas_decode(steps):
+        @jax.jit
+        def fn(acc, packed_flat, memory, keys, mask):
+            packed = packed_fp.unpack(packed_flat)
+            mel, stops, aligns = decode_scan_pallas(
+                packed, memory, keys, mask,
+                dec_cfg=cfg.model.decoder, attn_cfg=cfg.model.attention,
+                num_mels=cfg.model.num_mels, steps=steps, use_dropout=False)
+            return acc * 1e-9 + jnp.sum(mel[:, ::7, 0])
+        return fn
+
+    def make_scan_decode(steps):
+        @jax.jit
+        def fn(acc, flat, memory, lengths, rng_key):
+            variables = fp.unpack(flat)
+
+            def inner(mdl):
+                mel, _, _, _ = mdl.decoder.decode(
+                    memory, lengths, max_steps=steps,
+                    deterministic_prenet=True)
+                return jnp.sum(mel[:, ::7, 0])
+            return acc * 1e-9 + model.apply(variables, method=inner,
+                                            rngs={"dropout": rng_key})
+        return fn
+
+    n0, n1 = 1000, 2000
+    dt_p0 = timed(make_pallas_decode(n0),
+                  (packed_fp.flat, memory, keys, mask),
+                  iters=5, name=f"pallas decode {n0} steps")
+    dt_p1 = timed(make_pallas_decode(n1),
+                  (packed_fp.flat, memory, keys, mask),
+                  iters=5, name=f"pallas decode {n1} steps")
+    dt_s0 = timed(make_scan_decode(n0),
+                  (fp.flat, memory, jnp.asarray(sample["token_lengths"]),
+                   jax.random.PRNGKey(0)),
+                  iters=5, name=f"xla scan decode {n0} steps")
+    dt_s1 = timed(make_scan_decode(n1),
+                  (fp.flat, memory, jnp.asarray(sample["token_lengths"]),
+                   jax.random.PRNGKey(0)),
+                  iters=5, name=f"xla scan decode {n1} steps")
+    report["bahdanau_marginal"] = {
+        "pallas_us_per_step_marginal": (dt_p1 - dt_p0) / (n1 - n0) * 1e6,
+        "pallas_fixed_overhead_us": (2 * dt_p0 - dt_p1) * 1e6,
+        "xla_scan_us_per_step_marginal": (dt_s1 - dt_s0) / (n1 - n0) * 1e6,
+        "xla_scan_fixed_overhead_us": (2 * dt_s0 - dt_s1) * 1e6,
+        "marginal_speedup": (dt_s1 - dt_s0) / max(dt_p1 - dt_p0, 1e-12),
+        "note": "marginal = (t_2000 - t_1000)/1000; the long-decode floor "
+                "with fixed dispatch/setup removed",
+    }
+
     # roofline: weights are VMEM-resident across the grid, so steady-state
     # HBM traffic is inputs once + per-step output tiles
     b_pad = ((args.batch + 7) // 8) * 8
@@ -301,6 +355,68 @@ def main():
     report["roofline"].append(
         roofline("pallas_stft_1024f", flops, stft_bytes, dt_stft, peaks))
 
+    # ---- fused-framing STFT kernel vs conv-fused XLA path ------------------
+    # (VERDICT r2 #2a) Same contract: (B, L) preemphasized+center-padded wav.
+    from gst_tacotron_tpu.dsp.jax_dsp import JaxDSP
+    from gst_tacotron_tpu.ops.stft_pallas import stft_features_pallas_fused
+
+    jdsp = JaxDSP(cfg.audio)
+    bb, t_frames = 8, 512
+    wav_len = (t_frames - 1) * cfg.audio.hop_length + cfg.audio.n_fft
+    prepped = jnp.asarray(
+        0.3 * rng.standard_normal((bb, wav_len)), jnp.float32)
+
+    @jax.jit
+    def stft_conv_xla(acc, w):
+        mel, lin = jdsp.features_precentered(w)
+        return acc * 1e-9 + jnp.sum(mel[:, :, 0]) + jnp.sum(lin[:, ::31, 0])
+
+    @jax.jit
+    def stft_fused(acc, w):
+        mel, lin = stft_features_pallas_fused(w, cfg.audio)
+        return acc * 1e-9 + jnp.sum(mel[:, :, 0]) + jnp.sum(lin[:, ::31, 0])
+
+    @jax.jit
+    def stft_frame_then_kernel(acc, w):
+        fr = jdsp.frame_precentered(w)
+        b2, t2, n2 = fr.shape
+        mel, lin = stft_features_pallas(fr.reshape(b2 * t2, n2), cfg.audio)
+        return acc * 1e-9 + jnp.sum(mel[:, 0]) + jnp.sum(lin[::31, 0])
+
+    dt_conv = timed(stft_conv_xla, (prepped,), iters=10,
+                    name=f"stft conv-fused XLA ({bb}x{t_frames}f)")
+    dt_fused = timed(stft_fused, (prepped,), iters=10,
+                     name=f"stft fused-framing pallas ({bb}x{t_frames}f)")
+    dt_old = timed(stft_frame_then_kernel, (prepped,), iters=10,
+                   name=f"stft frame-then-kernel ({bb}x{t_frames}f)")
+    report["stft_paths_ms"] = {
+        "conv_fused_xla": dt_conv * 1e3,
+        "pallas_fused_framing": dt_fused * 1e3,
+        "pallas_frame_then_kernel": dt_old * 1e3,
+        "fused_vs_conv_speedup": dt_conv / dt_fused,
+    }
+    n_freq_pad = ((cfg.audio.num_freq + 127) // 128) * 128
+    t_pad_f = ((t_frames + 127) // 128) * 128
+    fflops = (2 * bb * t_pad_f * cfg.audio.n_fft * n_freq_pad * 2
+              + 2 * bb * t_pad_f * n_freq_pad * 128)
+    fbytes = 4 * (bb * t_pad_f * cfg.audio.hop_length
+                  + 2 * cfg.audio.n_fft * n_freq_pad
+                  + bb * t_pad_f * (n_freq_pad + 128))
+    report["roofline"].append(
+        roofline("pallas_stft_fused_framing", fflops, fbytes, dt_fused,
+                 peaks))
+
+    @jax.jit
+    def stft_parity(w):
+        mel_a, lin_a = jdsp.features_precentered(w)
+        mel_b, lin_b = stft_features_pallas_fused(w, cfg.audio)
+        return jnp.maximum(jnp.max(jnp.abs(mel_a - mel_b)),
+                           jnp.max(jnp.abs(lin_a - lin_b)))
+
+    report["stft_fused_parity_max_err"] = float(
+        np.asarray(stft_parity(prepped)))
+    log("stft fused parity max err:", report["stft_fused_parity_max_err"])
+
     # ---- reference-encoder conv stack -------------------------------------
     refenc = ReferenceEncoder(cfg.model.gst, cfg.model.num_mels)
     mel_in = jnp.asarray(rng.random((8, 256, cfg.model.num_mels)), jnp.float32)
@@ -328,6 +444,43 @@ def main():
         c_in = ch
     report["roofline"].append(
         roofline("ref_encoder_conv_stack", rflops, rbytes, dt_ref, peaks))
+
+    # ---- fused ref-encoder kernel (VERDICT r2 #2b) -------------------------
+    from gst_tacotron_tpu.ops.refenc_pallas import ref_encoder_pallas
+
+    rparams = jax.device_get(rv)["params"]
+    rstats = jax.device_get(rv)["batch_stats"]
+    rpfp = FlatTree({"params": rparams, "batch_stats": rstats})
+
+    @jax.jit
+    def refenc_kernel_fwd(acc, rflat, mel_in):
+        v = rpfp.unpack(rflat)
+        emb = ref_encoder_pallas(v["params"], v["batch_stats"],
+                                 cfg.model.gst, mel_in)
+        return acc * 1e-9 + jnp.sum(emb)
+
+    dt_refk = timed(refenc_kernel_fwd, (rpfp.flat, mel_in), iters=20,
+                    name="ref-encoder FUSED kernel+gru (8x256)")
+    report["ref_encoder_fused_ms_8x256"] = dt_refk * 1e3
+    report["ref_encoder_fused_speedup"] = dt_ref / dt_refk
+    report["roofline"].append(
+        roofline("ref_encoder_fused_kernel", rflops, rbytes, dt_refk, peaks))
+
+    # on-chip parity: fused kernel vs flax module (Mosaic-compiled)
+    @jax.jit
+    def refenc_parity(rflat, mel_in):
+        v = rpfp.unpack(rflat)
+        ref_flax = refenc.apply(
+            {"params": v["params"], "batch_stats": v["batch_stats"]},
+            mel_in, train=False)
+        ref_k = ref_encoder_pallas(v["params"], v["batch_stats"],
+                                   cfg.model.gst, mel_in)
+        return jnp.max(jnp.abs(ref_flax - ref_k))
+
+    report["ref_encoder_fused_parity_max_err"] = float(
+        np.asarray(refenc_parity(rpfp.flat, mel_in)))
+    log("refenc fused parity max err:",
+        report["ref_encoder_fused_parity_max_err"])
 
     # ---- LSA fused decode (config 3: r=1, 31-tap location conv) ------------
     from gst_tacotron_tpu.config import get_preset as _gp
