@@ -401,7 +401,12 @@ def parse_cli_overrides(args: list[str]) -> dict[str, Any]:
 #     post-stop window instead of bucket padding (cleaner stop transitions);
 #   * fast Griffin-Lim (momentum 0.99, 30 iters) — spectral error 0.099 vs
 #     0.119 for the reference's plain 60 iters, at half the cost (README
-#     "Measured performance").
+#     "Measured performance");
+#   * guided attention (weight 0.3) — round-3 on-chip CONTROLLED experiment
+#     (demo/round3, same 256-utt corpus, same budget): flagship eval
+#     diagonality 0.81 by step 2000 / 0.99 at 30k with the prior vs a 0.19
+#     plateau without it. The prior is a training-time regularizer only —
+#     it changes no architecture and decays to ~0 loss once aligned.
 # `reference_exact_overrides()` restores the reference-exact behavior for
 # parity work.
 VALIDATED_DEFAULTS = {
@@ -409,6 +414,7 @@ VALIDATED_DEFAULTS = {
     "loss.stop_masked": True,
     "audio.griffin_lim_momentum": 0.99,
     "audio.griffin_lim_iters": 30,
+    "loss.guided_attention_weight": 0.3,
 }
 
 
@@ -421,6 +427,7 @@ def reference_exact_overrides() -> dict:
         "loss.stop_masked": False,
         "audio.griffin_lim_momentum": 0.0,
         "audio.griffin_lim_iters": 60,
+        "loss.guided_attention_weight": 0.0,
     }
 
 
