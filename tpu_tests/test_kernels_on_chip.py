@@ -67,8 +67,13 @@ def test_decode_kernel_compiled_bahdanau(tpu, rng):
         decode_scan_pallas, pack_decoder_weights,
     )
 
+    # stop_threshold=1.0: decode() zeroes frames past each utterance's stop
+    # (models/decoder.py:249) and random-init stop projections fire early —
+    # the kernel decodes fixed-length, so parity needs stopping disabled
+    # (same pin as tools/tpu_kernel_bench.py).
     cfg = apply_overrides(get_preset("gst_lj"),
-                          {"model.decoder.max_decode_steps": 64})
+                          {"model.decoder.max_decode_steps": 64,
+                           "model.decoder.stop_threshold": 1.0})
     mem_dim = cfg.model.encoder.output_dim + cfg.model.gst.style_dim
     dec = Decoder(cfg.model.decoder, cfg.model.attention,
                   cfg.model.num_mels, mem_dim)
@@ -109,13 +114,15 @@ def test_decode_kernel_compiled_bahdanau(tpu, rng):
 
 
 def test_decode_kernel_compiled_lsa_r1(tpu, rng):
-    from gst_tacotron_tpu.config import get_preset
+    from gst_tacotron_tpu.config import get_preset, apply_overrides
     from gst_tacotron_tpu.models.decoder import Decoder
     from gst_tacotron_tpu.ops.decode_pallas import (
         decode_scan_pallas, pack_decoder_weights,
     )
 
-    cfg = get_preset("gst_r1_location")
+    # stop_threshold=1.0: see test_decode_kernel_compiled_bahdanau.
+    cfg = apply_overrides(get_preset("gst_r1_location"),
+                          {"model.decoder.stop_threshold": 1.0})
     mem_dim = cfg.model.encoder.output_dim + cfg.model.gst.style_dim
     dec = Decoder(cfg.model.decoder, cfg.model.attention,
                   cfg.model.num_mels, mem_dim)
