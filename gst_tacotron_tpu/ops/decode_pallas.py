@@ -71,9 +71,16 @@ def _gru(x, h, wi, bi, wh, bh):
 
 
 def _dropout(x, rate):
-    """Inverted dropout from the on-core PRNG (seeded per step outside)."""
-    bits = pltpu.prng_random_bits(x.shape)  # uint32
-    threshold = np.uint32(int(rate * (2 ** 32 - 1)))
+    """Inverted dropout from the on-core PRNG (seeded per step outside).
+
+    `prng_random_bits` returns SIGNED int32 (uniform over the full 2^32
+    range). Threshold in the signed domain: P(bits >= T) = 1 - rate gives
+    T = (2*rate - 1) * 2^31. (The earlier uint32 threshold compared against
+    signed bits and kept ~nothing — caught by the on-chip seed-variation
+    test, TPU_TEST_r03.)"""
+    bits = pltpu.prng_random_bits(x.shape)  # int32
+    threshold = np.int32(
+        max(-(2 ** 31), min(2 ** 31 - 1, round((2.0 * rate - 1.0) * 2 ** 31))))
     keep = bits >= threshold
     return jnp.where(keep, x / (1.0 - rate), 0.0)
 

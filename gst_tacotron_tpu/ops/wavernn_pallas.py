@@ -77,8 +77,12 @@ def _sample_kernel(seed_ref, cond_ref, embed_ref, wi_ref, bi_ref, wh_ref,
     if greedy:
         scores = logits
     else:
+        # prng_random_bits is SIGNED int32: arithmetic >> would sign-extend
+        # (u < 0 -> log(-log(u)) = NaN on ~half the lanes); mask to a uniform
+        # 24-bit mantissa instead (caught by the on-chip distribution test).
         bits = pltpu.prng_random_bits(logits.shape)
-        u = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24)) + 1e-9
+        u = jnp.bitwise_and(bits >> 8, (1 << 24) - 1).astype(jnp.float32) \
+            * (1.0 / (1 << 24)) + 1e-9
         gumbel = -jnp.log(-jnp.log(u))
         scores = logits / temperature + gumbel
 

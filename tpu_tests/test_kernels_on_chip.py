@@ -60,6 +60,35 @@ def test_refenc_fused_compiled(tpu, rng):
                        mel, lengths)) < 5e-4
 
 
+def test_refenc_batched_compiled(tpu, rng):
+    """t % 2**n_layers == 0 routes to the whole-batch 3-matmul-per-layer
+    kernel (refenc_stack_pallas_batched) — compiled parity at the production
+    (256, 80) shape."""
+    from gst_tacotron_tpu.models.gst import ReferenceEncoder
+    from gst_tacotron_tpu.ops.refenc_pallas import ref_encoder_pallas
+
+    gst = GSTConfig()
+    num_mels = 80
+    mel = jnp.asarray(rng.normal(0, 1, (8, 256, num_mels)), jnp.float32)
+    lengths = jnp.asarray([256, 250, 64, 199, 31, 128, 256, 7], jnp.int32)
+    model = ReferenceEncoder(gst, num_mels)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        variables = model.init({"params": jax.random.PRNGKey(0)}, mel,
+                               lengths, train=False)
+    variables = jax.device_get(variables)
+
+    @jax.jit
+    def parity(params, stats, mel, lengths):
+        ref_flax = model.apply({"params": params, "batch_stats": stats},
+                               mel, lengths, train=False)
+        ref_k = ref_encoder_pallas(params, stats, gst, mel, lengths)
+        return jnp.max(jnp.abs(ref_flax - ref_k))
+
+    assert _err(parity(variables["params"], variables["batch_stats"],
+                       mel, lengths)) < 5e-4
+
+
 def test_decode_kernel_compiled_bahdanau(tpu, rng):
     from gst_tacotron_tpu.config import get_preset, apply_overrides
     from gst_tacotron_tpu.models.decoder import Decoder
@@ -216,6 +245,44 @@ def test_wavernn_sampler_compiled(tpu, rng):
     ok, var = run(variables["params"], packed, mel)
     assert bool(np.asarray(ok))
     assert float(np.asarray(var)) > 0.0  # not a constant stream
+
+
+def test_wavernn_sampler_distribution(tpu, rng):
+    """Distribution-level PRNG check: force near-deterministic logits (zeroed
+    fc2 kernel + a +24 bias on one class) and assert sampling at
+    temperature 1 returns that class ~always. Catches gumbel-noise bugs that
+    in-range/variance checks miss (e.g. the signed->NaN sign-extension bug
+    where argmax followed NaN lanes instead of the logits)."""
+    from gst_tacotron_tpu.models.wavernn import WaveRNN
+    from gst_tacotron_tpu.ops.wavernn_pallas import (
+        pack_wavernn_weights, wavernn_sample_pallas,
+    )
+
+    vcfg = VocoderConfig(wavernn_gru_dim=128, wavernn_fc_dim=128,
+                         wavernn_hop=64)
+    num_mels = 80
+    model = WaveRNN(vcfg, num_mels)
+    mel = jnp.asarray(rng.random((2, 8, num_mels)), jnp.float32)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        variables = jax.device_get(model.init(
+            jax.random.PRNGKey(0), mel, jnp.zeros((2, 8 * vcfg.wavernn_hop))))
+    packed = pack_wavernn_weights(variables["params"], vcfg)
+    target = 37
+    packed["fc2"] = np.zeros_like(packed["fc2"])
+    fb2 = np.zeros_like(packed["fb2"])
+    fb2[target] = 24.0  # softmax mass ~1 even under unit-scale gumbel noise
+    packed["fb2"] = fb2
+
+    @jax.jit
+    def run(params, packed, mel):
+        cond = model.apply({"params": params}, mel,
+                           method=model.upsample_cond)
+        classes = wavernn_sample_pallas(packed, cond, cfg=vcfg, seed=5)
+        return jnp.mean((classes == target).astype(jnp.float32))
+
+    frac = float(np.asarray(run(variables["params"], packed, mel)))
+    assert frac > 0.99, f"peaked-logits sample hit rate {frac}"
 
 
 def test_prng_dropout_decode_kernel_compiled(tpu, rng):
