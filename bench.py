@@ -146,9 +146,20 @@ def bench_fused(cfg, model, state, sample, iterations=10):
     @jax.jit
     def synth(acc, flat, tokens, token_lengths, ref_mel, ref_lengths, rng):
         variables = fp.unpack(flat)
+        # production composition (Synthesizer._fast_style): style via the
+        # fused/batched reference-encoder kernel, not the flax im2col stack
+        style = None
+        if cfg.model.gst.enabled and ref_mel is not None:
+            from gst_tacotron_tpu.ops.refenc_pallas import (
+                gst_style_from_params,
+            )
+
+            style, _ = gst_style_from_params(
+                variables, cfg.model.gst, ref_mel, ref_lengths)
         out = model.apply(
             variables, tokens, token_lengths,
             ref_mel=ref_mel, ref_mel_lengths=ref_lengths,
+            precomputed_style=style,
             method=model.infer, rngs={"dropout": rng},
         )
         wav = dsp.inv_linear_spectrogram(out["linear"])
@@ -211,10 +222,19 @@ def bench_fused_pallas(cfg, model, state, sample, iterations=10):
     @jax.jit
     def encode(flat, tokens, token_lengths, ref_mel, ref_lengths):
         variables = fp.unpack(flat)
+        style = None
+        if cfg.model.gst.enabled and ref_mel is not None:
+            from gst_tacotron_tpu.ops.refenc_pallas import (
+                gst_style_from_params,
+            )
+
+            style, _ = gst_style_from_params(
+                variables, cfg.model.gst, ref_mel, ref_lengths)
 
         def fn(mdl):
             memory, _ = mdl._build_memory(
-                tokens, token_lengths, ref_mel, ref_lengths, None, None, False)
+                tokens, token_lengths, ref_mel, ref_lengths, None, None,
+                False, precomputed_style=style)
             keys = mdl.decoder.cell.precompute_keys(memory)
             return memory, keys
         return model.apply(variables, method=fn,

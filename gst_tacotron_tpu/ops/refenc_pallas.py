@@ -4,10 +4,24 @@ Named per-chip speed-of-light target (BASELINE.json:5 "reference-encoder
 conv stack"; SURVEY.md §2.1 "GST reference encoder"). The XLA im2col form
 measured 2,281 us at (8, 256 frames) — 0.5% of SOL, all layout/transpose
 traffic on tiny tensors across ~25 separate HLO ops (KERNEL_BENCH_r02.json).
-This kernel runs the WHOLE 6-layer stack as one program per batch element:
-intermediates never leave VMEM, each 3x3 stride-2 SAME conv is one im2col
-matmul (patches built from 9 static strided VMEM slices), and the
-inference-mode BatchNorm is folded into a per-layer scale/bias epilogue.
+
+Two fused forms, both running the WHOLE 6-layer stack in one program with
+VMEM-resident intermediates and inference BN folded into a per-layer
+scale/bias epilogue:
+
+1. `refenc_stack_pallas` — one batch element per grid step; each 3x3
+   stride-2 SAME conv is 9 tap-accumulated (HW, C_in)@(C_in, C_out) matmuls
+   (patches from static strided VMEM slices). Works for any T; but the tiny
+   matmul shapes cap MXU utilization at ~6%.
+2. `refenc_stack_pallas_batched` — the production form for
+   T % 2**n_layers == 0 (the Synthesizer pads ref mels to 64): the
+   activation lives as ONE 2-D (B*Hp, Wp*C) array — batch+height fused into
+   matmul rows, width+channels into lanes — and each layer is THREE matmuls
+   (one per kernel-row phase) against precomputed block-banded matrices
+   that fold the width-tap selection and the channel mix
+   (build_refenc_bmats). Height taps are stride-2 sublane slices;
+   per-element zero-pad rows halve layer-by-layer so they never need
+   re-inserting, and a row-iota mask re-zeroes them after each epilogue.
 
 Inference-only (BN folded from running stats; no VJP) — training keeps the
 flax module path. A `gst_style_from_params` helper composes the kernel with
@@ -140,6 +154,172 @@ def fold_bn(bn_params: Dict[str, jnp.ndarray],
     return inv, bn_params["bias"] - bn_stats["mean"] * inv
 
 
+# ---------------------------------------------------------------------------
+# Batched whole-stack kernel: one program, batch folded into matmul rows.
+#
+# The per-element grid form above runs every conv as 9 tiny (HW, C_in)@(C_in,
+# C_out) matmuls — at C=32 that is 25% lane and 25% K utilization of the MXU
+# (~6% total), and the VPU pays 6 layers x 9 taps x B grid steps of slice
+# traffic; it measured 1,741 us at (8, 256, 80), barely ahead of XLA's 2,255
+# (KERNEL_BENCH_r03). This form instead keeps the activation as ONE 2-D VMEM
+# array of shape (B*Hp, Wp*C) — batch and height fused into matmul rows,
+# width and channels fused into lanes — and runs each layer as THREE matmuls
+# (one per kernel-row phase di) against precomputed block-banded matrices
+# M_di[(2q+dj-pl)*C_in + ci, q*C_out + co] = K[di, dj, ci, co] that fold the
+# width-tap selection AND the channel mix (same trick as the decode kernel's
+# banded-Toeplitz location term). The height taps come from stride-2 sublane
+# slices; per-element zero pad rows halve layer-by-layer so they never need
+# re-inserting. Zero rows/lanes are carried exactly: the folded-BN epilogue
+# vectors are zeroed on pad lanes and a row iota mask re-zeroes pad rows that
+# a matmul touched (an epilogue bias would otherwise leak relu(bias) into
+# them).
+# ---------------------------------------------------------------------------
+
+
+def _refenc_layout(t: int, f: int, channels: Sequence[int]):
+    """Static layout plan. Requires t % 2**n_layers == 0 (every intermediate
+    height even -> SAME padding never pads on top; use
+    refenc_batched_supported to gate)."""
+    n = len(channels)
+    assert t % (1 << n) == 0, "batched refenc kernel needs t % 2**layers == 0"
+    plan = []
+    h, w = t, f
+    hp = t + (1 << n)          # per-element rows incl. zero pad (halves/layer)
+    c_in = 1
+    wp_in = f + 1              # lane slots per width position (>= w+1)
+    for li, c_out in enumerate(channels):
+        h_out, w_out = _out_hw(h, w)
+        # SAME width padding: left pad only when w is odd
+        pl_w = ((w_out - 1) * 2 + 3 - w) // 2 if w % 2 else 0
+        wp_out = w_out if li == n - 1 else w_out + 1
+        plan.append(dict(h_in=h, w_in=w, hp_in=hp, c_in=c_in, wp_in=wp_in,
+                         h_out=h_out, w_out=w_out, hp_out=hp // 2,
+                         c_out=c_out, wp_out=wp_out, pl_w=pl_w))
+        h, w, hp, c_in, wp_in = h_out, w_out, hp // 2, c_out, wp_out
+    return plan
+
+
+def refenc_batched_supported(t: int, n_layers: int) -> bool:
+    return t % (1 << n_layers) == 0
+
+
+def build_refenc_bmats(conv_kernels, bn_scales, bn_biases, t: int, f: int):
+    """Per layer: 3 phase matrices (Lp_in, Lp_out) + epilogue vectors
+    (1, Lp_out). Traceable (jnp on the weights, static numpy placement)."""
+    channels = [int(k.shape[-1]) for k in conv_kernels]
+    plan = _refenc_layout(t, f, channels)
+    out = []
+    for li, (kern, sc, bi, lp) in enumerate(
+            zip(conv_kernels, bn_scales, bn_biases, plan)):
+        c_in, c_out = lp["c_in"], lp["c_out"]
+        wp_in, wp_out, w_in, w_out = (lp["wp_in"], lp["wp_out"],
+                                      lp["w_in"], lp["w_out"])
+        # static placement: P[dj, u, q] = 1 iff u = 2q + dj - pl_w hits real
+        # input width u < w_in for output position q < w_out
+        P = np.zeros((3, wp_in, wp_out), np.float32)
+        for dj in range(3):
+            for q in range(w_out):
+                u = 2 * q + dj - lp["pl_w"]
+                if 0 <= u < w_in:
+                    P[dj, u, q] = 1.0
+        k = jnp.asarray(kern, jnp.float32)                 # (3, 3, Cin, Cout)
+        ms = []
+        for di in range(3):
+            m = jnp.einsum("juq,jio->uiqo", jnp.asarray(P), k[di])
+            ms.append(m.reshape(wp_in * c_in, wp_out * c_out))
+        wmask = (np.arange(wp_out) < w_out).astype(np.float32)
+        sv = (jnp.asarray(wmask)[:, None]
+              * jnp.asarray(sc, jnp.float32).reshape(-1)[None, :]
+              ).reshape(1, wp_out * c_out)
+        bv = (jnp.asarray(wmask)[:, None]
+              * jnp.asarray(bi, jnp.float32).reshape(-1)[None, :]
+              ).reshape(1, wp_out * c_out)
+        out.append((ms[0], ms[1], ms[2], sv, bv))
+    return out, plan
+
+
+def _refenc_batched_kernel(x_ref, *refs, plan, b: int):
+    out_ref = refs[-1]
+    x = x_ref[...]
+    for li, lp in enumerate(plan):
+        m0, m1, m2, sv, bv = (r[...] for r in refs[5 * li: 5 * li + 5])
+        # 2 extra zero rows so the di=2 contiguous slice never clamps
+        xp = jnp.pad(x, ((0, 8), (0, 0)))
+        n_rows = b * lp["hp_out"]
+        acc = None
+        for di, m in enumerate((m0, m1, m2)):
+            rows = _stride2_slice(xp, di, n_rows, 0)     # (n_rows, Lp_in)
+            part = jnp.dot(rows, m, preferred_element_type=jnp.float32)
+            acc = part if acc is None else acc + part
+        y = jnp.maximum(acc * sv + bv, 0.0)
+        # re-zero per-element pad rows (and the cross-element leak row):
+        # row r belongs to element r // hp_out at position r % hp_out
+        r_idx = jax.lax.broadcasted_iota(jnp.int32, (n_rows, 1), 0)
+        pos = r_idx - (r_idx // lp["hp_out"]) * lp["hp_out"]
+        x = y * (pos < lp["h_out"]).astype(jnp.float32)
+    last = plan[-1]
+    hp, h = last["hp_out"], last["h_out"]
+    for bb in range(b):
+        out_ref[bb] = x[bb * hp: bb * hp + h]
+
+
+def refenc_stack_pallas_batched(
+    ref_mel: jnp.ndarray,
+    conv_kernels: Sequence[jnp.ndarray],
+    bn_scales: Sequence[jnp.ndarray],
+    bn_biases: Sequence[jnp.ndarray],
+    *,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(B, T, F) masked ref mel -> (B, T', F'*C_last); numerics identical to
+    refenc_stack_pallas / models/gst.py::ReferenceEncoder. Requires
+    T % 2**n_layers == 0."""
+    b, t, f = ref_mel.shape
+    channels = [int(k.shape[-1]) for k in conv_kernels]
+    mats, plan = build_refenc_bmats(conv_kernels, bn_scales, bn_biases, t, f)
+    lp0, lpL = plan[0], plan[-1]
+
+    # host/XLA-side input prep: per-element zero pad rows + lane pad
+    x0 = jnp.pad(ref_mel.astype(jnp.float32),
+                 ((0, 0), (0, lp0["hp_in"] - t), (0, lp0["wp_in"] - f)))
+    x0 = x0.reshape(b * lp0["hp_in"], lp0["wp_in"])
+
+    args, in_specs = [], [
+        pl.BlockSpec(x0.shape, lambda: (0, 0), memory_space=pltpu.VMEM)]
+    for layer in mats:
+        for a in layer:
+            args.append(a)
+            in_specs.append(pl.BlockSpec(
+                a.shape, lambda *_, n=a.ndim: (0,) * n,
+                memory_space=pltpu.VMEM))
+
+    flops = 0
+    for lp in plan:
+        flops += 3 * 2 * (b * lp["hp_out"]) * (lp["wp_in"] * lp["c_in"]) \
+            * (lp["wp_out"] * lp["c_out"])
+    out_w = lpL["wp_out"] * lpL["c_out"]
+    mat_bytes = sum(int(np.prod(a.shape)) for layer in mats for a in layer)
+    out = pl.pallas_call(
+        functools.partial(_refenc_batched_kernel, plan=plan, b=b),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((b, lpL["h_out"], out_w), lambda: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, lpL["h_out"], out_w), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            # resident phase matrices (~30 MB) + layer-chain intermediates
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=4 * (int(np.prod(x0.shape)) + mat_bytes
+                                + b * lpL["h_out"] * out_w),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x0, *args)
+    return out
+
+
 def refenc_stack_pallas(
     ref_mel: jnp.ndarray,
     conv_kernels: Sequence[jnp.ndarray],
@@ -208,7 +388,7 @@ def refenc_stack_pallas(
 def ref_encoder_pallas(
     params: Dict, batch_stats: Dict, gst_cfg, ref_mel: jnp.ndarray,
     mel_lengths: Optional[jnp.ndarray] = None, *, interpret: bool = False,
-    use_pallas_gru: bool = True,
+    use_pallas_gru: bool = True, batched: Optional[bool] = None,
 ) -> jnp.ndarray:
     """ReferenceEncoder forward from raw variables (inference): fused conv
     stack kernel + GRU -> (B, ref_gru_dim) reference embedding. Numerics
@@ -224,8 +404,16 @@ def ref_encoder_pallas(
         sc, bi = fold_bn(params[f"bn_{i}"], batch_stats[f"bn_{i}"])
         scales.append(sc)
         biases.append(bi)
-    feats = refenc_stack_pallas(ref_mel, kernels, scales, biases,
-                                interpret=interpret)  # (B, T', F'C)
+    if batched is None:
+        batched = refenc_batched_supported(ref_mel.shape[1], n_layers)
+    if batched:
+        # whole-batch 3-matmul-per-layer form (see KERNEL_BENCH refenc rows
+        # for the measured on-chip advantage over the per-element grid form)
+        feats = refenc_stack_pallas_batched(ref_mel, kernels, scales, biases,
+                                            interpret=interpret)
+    else:
+        feats = refenc_stack_pallas(ref_mel, kernels, scales, biases,
+                                    interpret=interpret)  # (B, T', F'C)
 
     stride_total = 2 ** n_layers
     gru_lengths = None

@@ -55,6 +55,36 @@ def test_refenc_kernel_odd_time_no_mask():
                                atol=1e-5)
 
 
+def test_refenc_batched_kernel_matches_flax_module():
+    # t % 2**n_layers == 0 routes ref_encoder_pallas to the whole-batch
+    # 3-matmul-per-layer kernel (refenc_stack_pallas_batched)
+    model, params, stats, mel, lengths = _init_ref_encoder(b=2, t=24)
+    lengths = jnp.asarray([24, 7], jnp.int32)
+    expected = model.apply({"params": params, "batch_stats": stats},
+                           mel, lengths, train=False)
+    got = ref_encoder_pallas(params, stats, CFG, mel, lengths,
+                             interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               atol=1e-5)
+
+
+def test_refenc_batched_kernel_flagship_shape():
+    # the production 6-layer stack at (B, 256, 80): exercises the odd-width
+    # SAME-pad layer (w=5 -> pl_w=1) and the deep pad-row halving chain
+    cfg = GSTConfig()  # default channels (32, 32, 64, 64, 128, 128)
+    rng = np.random.default_rng(23)
+    b, t, f = 2, 256, 80
+    mel = jnp.asarray(rng.normal(0, 1, (b, t, f)), jnp.float32)
+    model = ReferenceEncoder(cfg, f)
+    variables = model.init({"params": jax.random.PRNGKey(5)}, mel, None,
+                           train=False)
+    expected = model.apply(variables, mel, None, train=False)
+    got = ref_encoder_pallas(variables["params"], variables["batch_stats"],
+                             cfg, mel, None, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               atol=2e-5)
+
+
 def test_gst_style_from_params_matches_flax_gst():
     rng = np.random.default_rng(13)
     b, t = 2, 21

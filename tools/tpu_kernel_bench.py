@@ -466,7 +466,7 @@ def main():
     def refenc_kernel_fwd(acc, rflat, mel_in):
         v = rpfp.unpack(rflat)
         emb = ref_encoder_pallas(v["params"], v["batch_stats"],
-                                 cfg.model.gst, mel_in)
+                                 cfg.model.gst, mel_in, batched=False)
         return acc * 1e-9 + jnp.sum(emb)
 
     dt_refk = timed(refenc_kernel_fwd, (rpfp.flat, mel_in), iters=20,
@@ -475,6 +475,71 @@ def main():
     report["ref_encoder_fused_speedup"] = dt_ref / dt_refk
     report["roofline"].append(
         roofline("ref_encoder_fused_kernel", rflops, rbytes, dt_refk, peaks))
+
+    # ---- whole-batch 3-matmul-per-layer form (the production default at
+    # t % 2**n_layers == 0): batch+height fused into matmul rows,
+    # width+channels into lanes, width taps folded into block-banded phase
+    # matrices (ops/refenc_pallas.py::refenc_stack_pallas_batched)
+    @jax.jit
+    def refenc_batched_fwd(acc, rflat, mel_in):
+        v = rpfp.unpack(rflat)
+        emb = ref_encoder_pallas(v["params"], v["batch_stats"],
+                                 cfg.model.gst, mel_in, batched=True)
+        return acc * 1e-9 + jnp.sum(emb)
+
+    dt_refb = timed(refenc_batched_fwd, (rpfp.flat, mel_in), iters=20,
+                    name="ref-encoder BATCHED kernel+gru (8x256)")
+    report["ref_encoder_batched_ms_8x256"] = dt_refb * 1e3
+    report["ref_encoder_batched_speedup_vs_xla"] = dt_ref / dt_refb
+    report["ref_encoder_batched_speedup_vs_fused"] = dt_refk / dt_refb
+    report["roofline"].append(
+        roofline("ref_encoder_batched_kernel", rflops, rbytes, dt_refb,
+                 peaks))
+
+    # ---- in-program marginal cost of the three forms -----------------------
+    # Per-call timings of this block sit on a ~1.4 ms dispatch floor on this
+    # runtime (a null program, an M-build-only program, and the tiny GRU all
+    # measure ~1.4 ms in a chained loop), so per-call walls cannot resolve a
+    # sub-millisecond conv stack. Measure the IN-PROGRAM cost instead: run
+    # the full refenc N times inside ONE jit (fori_loop, data-chained via an
+    # input perturbation) and difference two loop lengths — the same
+    # methodology as bahdanau_marginal. This is also the production-relevant
+    # number: in the headline synthesis program the refenc is one region of
+    # a much larger jit.
+    def make_refenc_loop(form, n):
+        @jax.jit
+        def f(acc, rflat, mel_in):
+            v = rpfp.unpack(rflat)
+
+            def body(i, a):
+                x = mel_in + a * 1e-12
+                if form == "flax":
+                    emb = refenc.apply(
+                        {"params": v["params"],
+                         "batch_stats": v["batch_stats"]}, x, train=False)
+                else:
+                    emb = ref_encoder_pallas(
+                        v["params"], v["batch_stats"], cfg.model.gst, x,
+                        batched=(form == "batched"))
+                return a + jnp.sum(emb) * 1e-9
+
+            return acc * 1e-9 + jax.lax.fori_loop(0, n, body,
+                                                  jnp.float32(0.0))
+        return f
+
+    n0, n1 = 2, 10
+    report["ref_encoder_marginal_us"] = {}
+    for form in ("flax", "grid", "batched"):
+        t_lo = timed(make_refenc_loop(form, n0), (rpfp.flat, mel_in),
+                     iters=10, name=f"refenc {form} x{n0} in-program")
+        t_hi = timed(make_refenc_loop(form, n1), (rpfp.flat, mel_in),
+                     iters=10, name=f"refenc {form} x{n1} in-program")
+        marg = (t_hi - t_lo) / (n1 - n0)
+        report["ref_encoder_marginal_us"][form] = marg * 1e6
+        log(f"refenc {form} marginal: {marg*1e6:.1f} us/call (incl. GRU)")
+        report["roofline"].append(
+            roofline(f"ref_encoder_{form}_marginal", rflops, rbytes, marg,
+                     peaks))
 
     # on-chip parity: fused kernel vs flax module (Mosaic-compiled)
     @jax.jit
