@@ -88,19 +88,35 @@ class JaxDSP:
         k = cfg.n_fft // cfg.hop_length
         wd = (np.concatenate([self.dft_cos, self.dft_sin], axis=1)
               * self.window[:, None])                        # (n_fft, 2F)
+        dft_taps = wd.reshape(k, cfg.hop_length, 2 * n_freq).astype(np.float32)
+        # Zero-tap elision: with win_length < n_fft the padded window is zero
+        # on whole hop-chunks (win_length 1024 / n_fft 2048 / hop 256 zeroes
+        # chunks 0,1,6,7), so those taps of BOTH conv kernels are zero blocks
+        # and the convs would spend half their MXU FLOPs multiplying zeros —
+        # Griffin-Lim runs these two convs 15x per vocode, so this halves its
+        # matmul work exactly. Keep only the live tap range [j0, j1);
+        # stft_ri_precentered/istft_ri compensate with slices/padding.
+        live = [j for j in range(k)
+                if np.any(self.window[j * cfg.hop_length:
+                                      (j + 1) * cfg.hop_length] != 0.0)]
+        self.tap_j0, self.tap_j1 = (live[0], live[-1] + 1) if live else (0, k)
         self.dft_conv_kernel = np.ascontiguousarray(
-            wd.reshape(k, cfg.hop_length, 2 * n_freq)).astype(np.float32)
+            dft_taps[self.tap_j0: self.tap_j1])
         # Inverse direction, same idea run backwards: windowed inverse DFT +
         # overlap-add is a width-k conv of the (B, T, 2F) real-pair spectrum
         # against k (2F, hop) blocks of the windowed iDFT matrix, with
         # (k-1, k-1) time padding — out chunk c = sum_j ri[c-j] @ W_j. Kills
         # both the (B, T, n_fft) frames intermediate and the k shifted
-        # .at[].add passes of the explicit overlap-add.
+        # .at[].add passes of the explicit overlap-add. Stacked tap jj reads
+        # window section (k-1-jj), so the live range is the mirrored
+        # [k-j1, k-j0) with padding reduced to match (see istft_ri).
         iw = (np.concatenate([self.idft_cos, self.idft_sin], axis=0)
               * self.window[None, :])                        # (2F, n_fft)
-        self.idft_conv_kernel = np.ascontiguousarray(np.stack(
+        idft_taps = np.stack(
             [iw[:, (k - 1 - j) * cfg.hop_length:(k - j) * cfg.hop_length]
-             for j in range(k)], axis=0)).astype(np.float32)  # (k, 2F, hop)
+             for j in range(k)], axis=0).astype(np.float32)  # (k, 2F, hop)
+        self.idft_conv_kernel = np.ascontiguousarray(
+            idft_taps[k - self.tap_j1: k - self.tap_j0])
 
     # -- framing ------------------------------------------------------------
     #
@@ -129,30 +145,43 @@ class JaxDSP:
 
     # -- forward STFT / features -------------------------------------------
 
-    def stft_ri_precentered(self, wav: jnp.ndarray
+    def stft_ri_precentered(self, wav: jnp.ndarray, low_precision: bool = False
                             ) -> tuple[jnp.ndarray, jnp.ndarray]:
         """(B, L) ALREADY center-padded -> real/imag pair, each (B, T, F).
 
         Framing is fused into the windowed DFT as a width-k conv over
         hop-chunks (see dft_conv_kernel in __init__) — no frames
-        intermediate touches HBM."""
+        intermediate touches HBM. low_precision: bf16 operands with f32
+        accumulation (Griffin-Lim iterations only — see
+        AudioConfig.griffin_lim_bf16)."""
         cfg = self.cfg
         hop = cfg.hop_length
+        k = cfg.n_fft // hop
         num_chunks = wav.shape[-1] // hop
+        num_frames = num_chunks - k + 1
         chunks = wav[:, : num_chunks * hop].reshape(
             wav.shape[0], num_chunks, hop)
+        kern = self.dft_conv_kernel
+        if low_precision:
+            chunks = chunks.astype(jnp.bfloat16)
+            kern = kern.astype(jnp.bfloat16)
+        # kernel holds only the live window taps [tap_j0, tap_j1); frame t =
+        # VALID-conv output at position t + tap_j0
         out = jax.lax.conv_general_dilated(
-            chunks, self.dft_conv_kernel,
+            chunks, kern,
             window_strides=(1,), padding="VALID",
-            dimension_numbers=("NWC", "WIO", "NWC"))
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            preferred_element_type=jnp.float32)
+        out = out[:, self.tap_j0: self.tap_j0 + num_frames]
         f = cfg.num_freq
         return out[..., :f], out[..., f:]
 
-    def stft_ri(self, wav: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    def stft_ri(self, wav: jnp.ndarray, low_precision: bool = False
+                ) -> tuple[jnp.ndarray, jnp.ndarray]:
         """(B, S) -> real/imag pair, each (B, T, num_freq). Conv-fused DFT."""
         pad = self.cfg.n_fft // 2
         wav = jnp.pad(wav, ((0, 0), (pad, pad)), mode="reflect")
-        return self.stft_ri_precentered(wav)
+        return self.stft_ri_precentered(wav, low_precision=low_precision)
 
     def stft(self, wav: jnp.ndarray) -> jnp.ndarray:
         """(B, S) -> complex (B, T, num_freq)."""
@@ -275,7 +304,8 @@ class JaxDSP:
             norm[t * cfg.hop_length: t * cfg.hop_length + cfg.n_fft] += winsq
         return np.maximum(norm, 1e-10)[None, :]
 
-    def istft_ri(self, re: jnp.ndarray, im: jnp.ndarray) -> jnp.ndarray:
+    def istft_ri(self, re: jnp.ndarray, im: jnp.ndarray,
+                 low_precision: bool = False) -> jnp.ndarray:
         """Real-pair (B, T, num_freq) -> (B, S). Conv-fused inverse DFT +
         overlap-add (the TPU backend has no irfft — see class docstring)."""
         cfg = self.cfg
@@ -283,10 +313,18 @@ class JaxDSP:
         num_frames = re.shape[1]
         total = cfg.n_fft + cfg.hop_length * (num_frames - 1)
         ri = jnp.concatenate([re, im], axis=-1)              # (B, T, 2F)
+        kern = self.idft_conv_kernel
+        if low_precision:
+            ri = ri.astype(jnp.bfloat16)
+            kern = kern.astype(jnp.bfloat16)
+        # kernel holds only the live stacked taps [k-tap_j1, k-tap_j0);
+        # padding shrinks to keep chunk c = sum_j ri[c-j] @ W_j exact
         chunks = jax.lax.conv_general_dilated(
-            ri, self.idft_conv_kernel,
-            window_strides=(1,), padding=[(k - 1, k - 1)],
-            dimension_numbers=("NWC", "WIO", "NWC"))         # (B, T+k-1, hop)
+            ri, kern,
+            window_strides=(1,),
+            padding=[(self.tap_j1 - 1, k - self.tap_j0 - 1)],
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            preferred_element_type=jnp.float32)              # (B, T+k-1, hop)
         out = chunks.reshape(ri.shape[0], total)
         out = out / self._win_norm(num_frames)
         return out[:, cfg.n_fft // 2: total - cfg.n_fft // 2]
@@ -321,12 +359,14 @@ class JaxDSP:
         # roughly half the iterations. Same fori_loop, one extra axpy.
         alpha = cfg.griffin_lim_momentum
 
+        lp = bool(cfg.griffin_lim_bf16)
+
         def body(_, s):
             re, im, pre, pim = s  # t_n and t_{n-1} (projected iterates)
             cre = re + alpha * (re - pre)
             cim = im + alpha * (im - pim)
-            wav = self.istft_ri(cre, cim)
-            re2, im2 = self.stft_ri(wav)
+            wav = self.istft_ri(cre, cim, low_precision=lp)
+            re2, im2 = self.stft_ri(wav, low_precision=lp)
             scale = magnitude / jnp.maximum(
                 jnp.sqrt(re2 * re2 + im2 * im2), 1e-16
             )

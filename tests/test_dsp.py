@@ -1,5 +1,6 @@
 """DSP parity tests: JAX path vs numpy reference vs scipy (SURVEY.md §4)."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 from scipy import signal as sps
@@ -156,6 +157,28 @@ def test_griffin_lim_momentum_accelerates():
     )
     # ~half the iterations for comparable error
     assert gl_err(8, 0.99) < plain16 * 1.05
+
+
+def test_griffin_lim_bf16_quality_neutral():
+    """bf16 GL iterations (the TPU default, audio.griffin_lim_bf16) must not
+    degrade spectral error vs f32 at PRODUCTION audio params. Measured
+    equal-or-better across seeds (f32 0.164-0.173 vs bf16 0.135-0.160 at
+    fast-GLA-15); assert within 5% as the regression bound."""
+    wav = make_wav(np.random.default_rng(7), n=65536)
+    base = AudioConfig()  # production 2048/256/1024
+    dspf = JaxDSP(base)
+    mag = np.asarray(dspf.magnitude(wav[None, :]))
+
+    def gl_err(bf16):
+        d = JaxDSP(AudioConfig(griffin_lim_iters=15,
+                               griffin_lim_momentum=0.99,
+                               griffin_lim_bf16=bf16))
+        rec = np.asarray(d.griffin_lim(jnp.asarray(mag))).astype(np.float32)
+        mag_rec = np.asarray(dspf.magnitude(rec))
+        return np.linalg.norm(mag - mag_rec) / np.linalg.norm(mag)
+
+    e32, e16 = gl_err(False), gl_err(True)
+    assert e16 < e32 * 1.05, f"bf16 GL degraded: {e16:.4f} vs f32 {e32:.4f}"
 
 
 def test_inv_spectrogram_end_to_end(rng):

@@ -407,14 +407,48 @@ def main():
     }
     n_freq_pad = ((cfg.audio.num_freq + 127) // 128) * 128
     t_pad_f = ((t_frames + 127) // 128) * 128
-    fflops = (2 * bb * t_pad_f * cfg.audio.n_fft * n_freq_pad * 2
+    # matmul K dim = the window's LIVE span (zero-tap elision; win_length
+    # 1024 in n_fft 2048 -> 1024 live rows)
+    n_live = min(cfg.audio.n_fft,
+                 ((cfg.audio.win_length + cfg.audio.hop_length - 1)
+                  // cfg.audio.hop_length + 1) * cfg.audio.hop_length)
+    fflops = (2 * bb * t_pad_f * n_live * n_freq_pad * 2
               + 2 * bb * t_pad_f * n_freq_pad * 128)
     fbytes = 4 * (bb * t_pad_f * cfg.audio.hop_length
-                  + 2 * cfg.audio.n_fft * n_freq_pad
+                  + 2 * n_live * n_freq_pad
                   + bb * t_pad_f * (n_freq_pad + 128))
     report["roofline"].append(
         roofline("pallas_stft_fused_framing", fflops, fbytes, dt_fused,
                  peaks))
+
+    # in-program marginals (per-call walls include the ~1.4 ms dispatch
+    # floor; see the ref-encoder marginal note below)
+    def make_stft_loop(form, n):
+        @jax.jit
+        def f(acc, w):
+            def body(i, a):
+                wi = w + a * 1e-12
+                if form == "conv_xla":
+                    mel, lin = jdsp.features_precentered(wi)
+                else:
+                    mel, lin = stft_features_pallas_fused(wi, cfg.audio)
+                return a + (jnp.sum(mel[:, :, 0])
+                            + jnp.sum(lin[:, ::31, 0])) * 1e-9
+            return acc * 1e-9 + jax.lax.fori_loop(0, n, body,
+                                                  jnp.float32(0.0))
+        return f
+
+    report["stft_marginal_us"] = {}
+    for form in ("conv_xla", "fused"):
+        t_lo = timed(make_stft_loop(form, 2), (prepped,), iters=10,
+                     name=f"stft {form} x2 in-program")
+        t_hi = timed(make_stft_loop(form, 10), (prepped,), iters=10,
+                     name=f"stft {form} x10 in-program")
+        marg = (t_hi - t_lo) / 8
+        report["stft_marginal_us"][form] = marg * 1e6
+        log(f"stft {form} marginal: {marg*1e6:.1f} us/call")
+        report["roofline"].append(
+            roofline(f"stft_{form}_marginal", fflops, fbytes, marg, peaks))
 
     @jax.jit
     def stft_parity(w):
