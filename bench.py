@@ -39,7 +39,7 @@ def _enable_compile_cache():
     enable_compile_cache()
 
 
-def build(cfg_overrides=None, checkpoint_workdir=None):
+def build(cfg_overrides=None, checkpoint_workdir=None, batch=None):
     import jax
 
     from gst_tacotron_tpu.config import apply_overrides, get_preset, load_config
@@ -76,7 +76,7 @@ def build(cfg_overrides=None, checkpoint_workdir=None):
         cfg = apply_overrides(get_preset("gst_lj"), ov)
 
     rng = np.random.default_rng(0)
-    t_text, t_mel, batch = 64, 128, 8
+    t_text, t_mel, batch = 64, 128, (batch or 8)
     if checkpoint_workdir is not None:
         # real sentences, not random ids: stop-token timing on a trained
         # model only makes sense for text it was trained to speak
@@ -288,6 +288,141 @@ def bench_fused_pallas(cfg, model, state, sample, iterations=10):
     audio_seconds = frames * cfg.audio.hop_length / cfg.audio.sample_rate
     decode_steps = frames // cfg.model.decoder.reduction_factor
     return audio_seconds, dt, decode_steps
+
+
+def bench_config5(cfg, model, state, sample, iterations=5):
+    """Config-5 end-to-end throughput (BASELINE configs[5]): text -> encoder
+    + GST -> fused Pallas decode -> WaveRNN Pallas sampler -> waveform,
+    audio-s/s/chip. Production WaveRNN dims (512 GRU), untrained weights —
+    same basis as the Griffin-Lim headline (throughput, not quality).
+
+    Run LAST: the AR sampling program is large and this runtime degrades
+    sessions that have executed huge programs (CLAUDE.md #10)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gst_tacotron_tpu.dsp.jax_dsp import mulaw_decode
+    from gst_tacotron_tpu.models.wavernn import WaveRNN
+    from gst_tacotron_tpu.ops.decode_pallas import (
+        decode_scan_pallas, pack_decoder_weights,
+    )
+    from gst_tacotron_tpu.ops.wavernn_pallas import (
+        pack_wavernn_weights, wavernn_sample_pallas,
+    )
+    from gst_tacotron_tpu.utils.flatten import FlatTree
+
+    vcfg = cfg.model.vocoder
+    assert vcfg.wavernn_hop == cfg.audio.hop_length
+    wmodel = WaveRNN(vcfg, cfg.model.num_mels)
+    steps = cfg.model.decoder.max_decode_steps
+    r = cfg.model.decoder.reduction_factor
+    b = sample["tokens"].shape[0]
+
+    # init WaveRNN on the host CPU backend (same reasoning as build())
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    hop = vcfg.wavernn_hop
+    with jax.default_device(cpu) if cpu is not None else _nullcontext():
+        wvars = jax.device_get(wmodel.init(
+            jax.random.PRNGKey(1),
+            jnp.zeros((1, 2, cfg.model.num_mels), jnp.float32),
+            jnp.zeros((1, 2 * hop), jnp.float32),
+        ))
+    w_fp = FlatTree(wvars)
+    packed_w_fp = FlatTree(pack_wavernn_weights(wvars["params"], vcfg))
+
+    fp = FlatTree({"params": state.params, "batch_stats": state.batch_stats})
+    packed_fp = FlatTree(pack_decoder_weights(
+        jax.device_get(state.params)["decoder"]["cell"],
+        cfg.model.num_mels, r, tuple(cfg.model.decoder.prenet_dims)))
+
+    @jax.jit
+    def encode(flat, tokens, token_lengths, ref_mel, ref_lengths):
+        variables = fp.unpack(flat)
+        style = None
+        if cfg.model.gst.enabled:
+            from gst_tacotron_tpu.ops.refenc_pallas import (
+                gst_style_from_params,
+            )
+
+            style, _ = gst_style_from_params(
+                variables, cfg.model.gst, ref_mel, ref_lengths)
+
+        def fn(mdl):
+            memory, _ = mdl._build_memory(
+                tokens, token_lengths, ref_mel, ref_lengths, None, None,
+                False, precomputed_style=style)
+            keys = mdl.decoder.cell.precompute_keys(memory)
+            return memory, keys
+        return model.apply(variables, method=fn,
+                           rngs={"dropout": jax.random.PRNGKey(0)})
+
+    @jax.jit
+    def decode(packed_flat, memory, keys, token_lengths):
+        packed = packed_fp.unpack(packed_flat)
+        mask = jnp.arange(memory.shape[1])[None, :] < token_lengths[:, None]
+        return decode_scan_pallas(
+            packed, memory, keys, mask,
+            dec_cfg=cfg.model.decoder, attn_cfg=cfg.model.attention,
+            num_mels=cfg.model.num_mels, steps=steps, use_dropout=True)
+
+    @jax.jit
+    def vocode(wflat, packed_wflat, mel, seed):
+        variables = w_fp.unpack(wflat)
+        packed = packed_w_fp.unpack(packed_wflat)
+        cond = wmodel.apply(variables, mel, method=wmodel.upsample_cond)
+        classes = wavernn_sample_pallas(packed, cond, cfg=vcfg, seed=seed)
+        wav = mulaw_decode(classes, vcfg.wavernn_bits)
+        return jnp.sum(wav[:, ::997])
+
+    tokens = jnp.asarray(sample["tokens"])
+    token_lengths = jnp.asarray(sample["token_lengths"])
+    ref_mel = jnp.asarray(sample["mel"])
+    ref_lengths = jnp.asarray(sample["mel_lengths"])
+
+    def pipeline(acc, seed):
+        memory, keys = encode(fp.flat, tokens, token_lengths,
+                              ref_mel + acc * 1e-9, ref_lengths)
+        mel, stops, aligns = decode(packed_fp.flat, memory, keys,
+                                    token_lengths)
+        return vocode(w_fp.flat, packed_w_fp.flat, mel, seed)
+
+    t0 = time.perf_counter()
+    acc = pipeline(jnp.float32(0.0), jnp.int32(7))
+    _ = np.asarray(acc)
+    log(f"config5 pipeline compiled in {time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
+    for i in range(iterations):
+        acc = pipeline(acc, jnp.int32(100 + i))
+    _ = np.asarray(acc)
+    dt = (time.perf_counter() - t0) / iterations
+    frames = b * steps * r
+    audio_seconds = frames * cfg.audio.hop_length / cfg.audio.sample_rate
+    samples = frames * hop
+    log(f"config5 (WaveRNN) steady-state: {dt*1e3:.1f} ms/batch, "
+        f"{audio_seconds/dt:.1f} audio-s/s")
+    return {
+        "audio_seconds_per_sec_per_chip": audio_seconds / dt,
+        "wall_s_per_batch": dt,
+        "batch": b,
+        "mel_frames_per_utt": steps * r,
+        "wav_samples_per_batch": samples,
+        "samples_per_sec": samples / dt,
+        "realtime_factor_aggregate": audio_seconds / dt,
+        "vocoder": "wavernn_pallas (512-GRU, mu-law 8-bit)",
+        "note": "untrained weights; throughput basis identical to the "
+                "Griffin-Lim headline (full fixed-length decode)",
+    }
+
+
+class _nullcontext:
+    def __enter__(self):
+        return None
+
+    def __exit__(self, *a):
+        return False
 
 
 def bench_reference_style(cfg, model, state, sample, max_steps=40):
@@ -711,9 +846,16 @@ def main():
                    help="seconds before an unresponsive-device failure line "
                         "is emitted (0 disables)")
     p.add_argument("--details", help="write detailed JSON here")
+    p.add_argument("--batch", type=int,
+                   help="synthesis batch size (default: the measured "
+                        "optimum; see BENCH_r04_sweep.json)")
     p.add_argument("--checkpoint",
                    help="training workdir: bench the TRAINED model with real "
                         "stop-token termination (BASELINE decode-steps/sec)")
+    p.add_argument("--config5", action="store_true",
+                   help="also measure the config-5 neural-vocoder pipeline "
+                        "(text -> mel -> WaveRNN Pallas sampler -> wav) "
+                        "end to end; written to --details")
     p.add_argument("--scaling", action="store_true",
                    help="also measure the 1/2/4/8-device weak-scaling curve "
                         "on a fake CPU mesh (written to --details)")
@@ -758,7 +900,7 @@ def main():
 
     import jax
 
-    cfg, model, state, sample = build(overrides, args.checkpoint)
+    cfg, model, state, sample = build(overrides, args.checkpoint, args.batch)
     num_chips = jax.local_device_count()
 
     # Measure the headline (pallas pipeline) FIRST: running the huge
@@ -811,6 +953,7 @@ def main():
         "per_step_dispatch_used_s": per_step_used,
         "gl_host_s_per_frame": gl_per_frame,
         "audio_seconds": audio_seconds,
+        "synthesis_batch": sample["tokens"].shape[0],
         "num_chips": num_chips,
         "device": str(jax.devices()[0]),
         "baseline_note": (
@@ -828,6 +971,13 @@ def main():
             "note": "real stop-token termination; audio_seconds reflects "
                     "per-utterance stopping, not forced full-length decode",
         }
+    if args.config5:
+        try:
+            details["config5_wavernn_pipeline"] = bench_config5(
+                cfg, model, state, sample)
+        except Exception as e:
+            details["config5_wavernn_pipeline"] = {"error": str(e)}
+            log(f"config5 bench failed: {e}")
     if args.scaling:
         details["weak_scaling_fake_cpu_mesh"] = bench_scaling()
         details["scaling_note"] = (

@@ -85,8 +85,12 @@ class PatternDataset:
                 "speaker_id": z["speaker_id"],
             }
             if not wav_only:
-                out["mel"] = z["mel"]
-                out["linear"] = z["linear"]
+                # wav-only shards (pattern --wav-only) carry no offline
+                # features; consumers needing mel must compute it from the
+                # wav (BucketedLoader rejects them up-front in feature mode)
+                for key in ("mel", "linear"):
+                    if key in z:
+                        out[key] = z[key]
             if "wav" in z:
                 out["wav"] = z["wav"]
             return out
@@ -123,6 +127,15 @@ class BucketedLoader:
         self.drop_remainder = drop_remainder
         self.split = split
         self.audio = audio_cfg
+        if not cfg.wav_transport:
+            wav_only = [e["id"] for e in dataset.entries
+                        if e.get("wav_only")]
+            if wav_only:
+                raise ValueError(
+                    f"{len(wav_only)} pattern(s) are wav-only shards (e.g. "
+                    f"{wav_only[:3]}) with no offline features; train with "
+                    "data.wav_transport=true or regenerate without --wav-only"
+                )
         if cfg.wav_transport:
             if audio_cfg is None:
                 raise ValueError("wav_transport requires audio_cfg")
@@ -251,44 +264,49 @@ class BucketedLoader:
 
     # -- device-resident corpus (index-wire) mode ----------------------------
 
-    def build_wav_corpus(self) -> Tuple[np.ndarray, np.ndarray]:
-        """Every split entry prepped ONCE at the GLOBAL max bucket shapes.
+    def build_wav_corpus(self) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
+        """Every split entry prepped ONCE, PER BUCKET, at the bucket's shapes.
 
         Device-corpus mode: the whole prepped corpus lives in HBM and each
         train step ships only a (B,) index vector — measured 1.1 ms/step of
         batch-fetch cost vs ~90 ms for uploading the f16 wav wire at B=16
-        through this runtime's ~50 MB/s host->device tunnel. Row i, sliced to
-        its own bucket's (sig_len, max_text) prefix with the scalar block
-        reattached, is bit-identical to `_assemble_wav`'s wire row, so
-        `train._materialize_features` is reused unchanged.
+        through this runtime's ~50 MB/s host->device tunnel. One array pair
+        per OCCUPIED bucket (not one global-max array: padding every short
+        utterance to the longest bucket costs ~45% extra HBM on a
+        length-varied corpus — measured 8.0 -> 5.5 GB at 13k utterances),
+        each row bit-identical to `_assemble_wav`'s wire row for that
+        bucket, so `train._materialize_features` is reused unchanged.
 
-        Returns (wav (N, L_max) f16, ints (N, T_max + 4) int32); also sets
-        `self.corpus_row[dataset_idx] -> row` used by `stream_indices`.
+        Returns {bucket_idx: (wav (N_b, sig_len_b) f16,
+                              ints (N_b, max_text_b + 4) int32)}; also sets
+        `self.corpus_row[dataset_idx] -> (bucket_idx, row)` used by
+        `stream_indices`.
         """
         if not self.cfg.wav_transport:
             raise ValueError("device corpus requires data.wav_transport")
-        members = sorted({i for m in self.bucket_members for i in m})
-        spec_of = {}
-        for b, m in enumerate(self.bucket_members):
-            for i in m:
-                spec_of[i] = self.buckets[b]
-        t_max = max(s.max_text for s in self.buckets)
-        f_max = max(s.max_frames for s in self.buckets)
-        l_max = (f_max - 1) * self.audio.hop_length + self.audio.n_fft
-        wav = np.zeros((len(members), l_max), WAV_WIRE_DTYPE)
-        ints = np.zeros((len(members), t_max + 4), np.int32)
+        corpora: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
         self.corpus_row = {}
-        for row, idx in enumerate(members):
-            item = self.dataset.load(idx, wav_only=True)
-            self._fill_wav_row(item, spec_of[idx], wav[row], ints[row], t_max)
-            self.corpus_row[idx] = row
-        return wav, ints
+        for b, (spec, members) in enumerate(
+                zip(self.buckets, self.bucket_members)):
+            if not members:
+                continue
+            sig_len = ((spec.max_frames - 1) * self.audio.hop_length
+                       + self.audio.n_fft)
+            wav = np.zeros((len(members), sig_len), WAV_WIRE_DTYPE)
+            ints = np.zeros((len(members), spec.max_text + 4), np.int32)
+            for row, idx in enumerate(sorted(members)):
+                item = self.dataset.load(idx, wav_only=True)
+                self._fill_wav_row(item, spec, wav[row], ints[row],
+                                   spec.max_text)
+                self.corpus_row[idx] = (b, row)
+            corpora[b] = (wav, ints)
+        return corpora
 
     def stream_indices(self, start_batch: int = 0
-                       ) -> Iterator[Tuple[np.ndarray, BucketSpec]]:
+                       ) -> Iterator[Tuple[int, np.ndarray, BucketSpec]]:
         """The same deterministic batch stream as `stream`, but yielding
-        (corpus row ids, bucket spec) instead of assembled arrays — the
-        device-corpus train step gathers the rows in HBM."""
+        (bucket idx, corpus row ids, bucket spec) instead of assembled
+        arrays — the device-corpus train step gathers the rows in HBM."""
         if not hasattr(self, "corpus_row"):
             raise RuntimeError(
                 "stream_indices requires build_wav_corpus() first "
@@ -297,23 +315,38 @@ class BucketedLoader:
         epoch, skip = divmod(start_batch, bpe)
         while True:
             for indices, spec in self._epoch_batches(epoch)[skip:]:
-                rows = np.asarray([self.corpus_row[i] for i in indices],
-                                  np.int32)
-                yield rows, spec
+                locs = [self.corpus_row[i] for i in indices]
+                b = locs[0][0]
+                assert all(bb == b for bb, _ in locs)
+                rows = np.asarray([r for _, r in locs], np.int32)
+                yield b, rows, spec
             skip = 0
             epoch += 1
 
     # -- epoch plan ---------------------------------------------------------
 
     def _epoch_batches(self, epoch: int) -> List[Tuple[List[int], BucketSpec]]:
+        """Per-epoch batch plan. `batch_size` is the GLOBAL batch: the plan is
+        built identically on every host (same seed -> same permutation and
+        plan shuffle), then each host takes its CONTIGUOUS row slice of every
+        global batch. This makes the global batch stream bit-identical for
+        any shard count (1-process x 8-device and 2-process x 4-device runs
+        train on the same batches — tools/multiproc_train.py asserts loss
+        parity on exactly this invariant) and keeps every host's plan the
+        same length, so multi-host steps can never desync on odd bucket
+        counts."""
+        if self.batch_size % self.num_shards:
+            raise ValueError(
+                f"global batch_size={self.batch_size} must divide by "
+                f"num_shards={self.num_shards}")
+        per_host = self.batch_size // self.num_shards
+        lo, hi = self.shard_index * per_host, (self.shard_index + 1) * per_host
         rng = np.random.default_rng((self.seed, epoch))
         plan: List[Tuple[List[int], BucketSpec]] = []
         for spec, members in zip(self.buckets, self.bucket_members):
             if not members:
                 continue
             order = np.array(members)[rng.permutation(len(members))]
-            # per-host shard AFTER shuffling so hosts see disjoint data
-            order = order[self.shard_index :: self.num_shards]
             for s in range(0, len(order), self.batch_size):
                 chunk = order[s : s + self.batch_size].tolist()
                 if len(chunk) < self.batch_size:
@@ -321,10 +354,11 @@ class BucketedLoader:
                         continue
                     # wrap-around fill keeps the batch shape static
                     deficit = self.batch_size - len(chunk)
-                    chunk = chunk + order[:deficit].tolist()
+                    chunk = chunk + (order.tolist() * (
+                        deficit // max(len(order), 1) + 1))[:deficit]
                 plan.append((chunk, spec))
         rng.shuffle(plan)
-        return plan
+        return [(chunk[lo:hi], spec) for chunk, spec in plan]
 
     # -- iteration ----------------------------------------------------------
 

@@ -203,6 +203,28 @@ def refenc_batched_supported(t: int, n_layers: int) -> bool:
     return t % (1 << n_layers) == 0
 
 
+_BATCHED_VMEM_LIMIT = 100 * 1024 * 1024  # matches the pallas_call param
+
+
+def refenc_batched_vmem_ok(b: int, t: int, f: int,
+                           channels: Sequence[int]) -> bool:
+    """Whether the whole-batch form's scoped-VMEM peak fits. The kernel
+    keeps x, the 8-row-padded copy, the accumulating layer output, and all
+    phase matrices live; at large B*t this exceeds the 100 MB scoped limit
+    (measured: OOM at B=64, t=128, f=80 — 125.5 MB), in which case the
+    per-element grid form is the fallback."""
+    plan = _refenc_layout(t, f, channels)
+    mats = 0
+    peak = 0
+    for lp in plan:
+        li = (lp["wp_in"] * lp["c_in"], lp["wp_out"] * lp["c_out"])
+        mats += 3 * li[0] * li[1] + 2 * li[1]
+        x_in = (b * lp["hp_in"] + 8) * li[0] * 2  # x + padded copy
+        x_out = b * lp["hp_out"] * li[1] * 2      # acc + masked result
+        peak = max(peak, x_in + x_out)
+    return 4 * (mats + peak) < _BATCHED_VMEM_LIMIT * 0.9
+
+
 def build_refenc_bmats(conv_kernels, bn_scales, bn_biases, t: int, f: int):
     """Per layer: 3 phase matrices (Lp_in, Lp_out) + epilogue vectors
     (1, Lp_out). Traceable (jnp on the weights, static numpy placement)."""
@@ -238,18 +260,28 @@ def build_refenc_bmats(conv_kernels, bn_scales, bn_biases, t: int, f: int):
     return out, plan
 
 
-def _refenc_batched_kernel(x_ref, *refs, plan, b: int):
+def _refenc_batched_kernel(x_ref, *refs, plan, b: int, bf16: bool):
     out_ref = refs[-1]
     x = x_ref[...]
     for li, lp in enumerate(plan):
         m0, m1, m2, sv, bv = (r[...] for r in refs[5 * li: 5 * li + 5])
-        # 2 extra zero rows so the di=2 contiguous slice never clamps
+        # pad 8 zero rows: 2 are needed so the di=2 contiguous slice never
+        # clamps; the count is rounded up to 8 for sublane-tile alignment
+        # (Mosaic requires 8-row-aligned slice extents — do NOT shrink to 2)
         xp = jnp.pad(x, ((0, 8), (0, 0)))
+        if bf16:
+            # bf16 operands, f32 accumulation: the kernel is compute-bound
+            # on its own deliberately-inflated dense-banded FLOPs (see
+            # refenc_stack_pallas_batched docstring), so doubling the MXU
+            # rate is the one lever left; activations are post-relu/BN
+            # magnitudes where bf16's ~3 decimal digits hold ~1e-2 relative
+            xp = xp.astype(jnp.bfloat16)
         n_rows = b * lp["hp_out"]
         acc = None
         for di, m in enumerate((m0, m1, m2)):
             rows = _stride2_slice(xp, di, n_rows, 0)     # (n_rows, Lp_in)
-            part = jnp.dot(rows, m, preferred_element_type=jnp.float32)
+            part = jnp.dot(rows, m.astype(xp.dtype),
+                           preferred_element_type=jnp.float32)
             acc = part if acc is None else acc + part
         y = jnp.maximum(acc * sv + bv, 0.0)
         # re-zero per-element pad rows (and the cross-element leak row):
@@ -270,10 +302,12 @@ def refenc_stack_pallas_batched(
     bn_biases: Sequence[jnp.ndarray],
     *,
     interpret: bool = False,
+    bf16: bool = False,
 ) -> jnp.ndarray:
     """(B, T, F) masked ref mel -> (B, T', F'*C_last); numerics identical to
-    refenc_stack_pallas / models/gst.py::ReferenceEncoder. Requires
-    T % 2**n_layers == 0."""
+    refenc_stack_pallas / models/gst.py::ReferenceEncoder (bf16=True trades
+    ~1e-2 relative activation error for the doubled MXU rate — opt-in, see
+    _refenc_batched_kernel). Requires T % 2**n_layers == 0."""
     b, t, f = ref_mel.shape
     channels = [int(k.shape[-1]) for k in conv_kernels]
     mats, plan = build_refenc_bmats(conv_kernels, bn_scales, bn_biases, t, f)
@@ -287,7 +321,12 @@ def refenc_stack_pallas_batched(
     args, in_specs = [], [
         pl.BlockSpec(x0.shape, lambda: (0, 0), memory_space=pltpu.VMEM)]
     for layer in mats:
-        for a in layer:
+        for i, a in enumerate(layer):
+            if bf16 and i < 3:
+                # phase matrices shipped bf16: halves their HBM traffic
+                # (~23 MB of the design's ~24 MB total) AND feeds the MXU
+                # its double-rate input dtype; epilogue stays f32
+                a = a.astype(jnp.bfloat16)
             args.append(a)
             in_specs.append(pl.BlockSpec(
                 a.shape, lambda *_, n=a.ndim: (0,) * n,
@@ -300,7 +339,7 @@ def refenc_stack_pallas_batched(
     out_w = lpL["wp_out"] * lpL["c_out"]
     mat_bytes = sum(int(np.prod(a.shape)) for layer in mats for a in layer)
     out = pl.pallas_call(
-        functools.partial(_refenc_batched_kernel, plan=plan, b=b),
+        functools.partial(_refenc_batched_kernel, plan=plan, b=b, bf16=bf16),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((b, lpL["h_out"], out_w), lambda: (0, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -389,6 +428,7 @@ def ref_encoder_pallas(
     params: Dict, batch_stats: Dict, gst_cfg, ref_mel: jnp.ndarray,
     mel_lengths: Optional[jnp.ndarray] = None, *, interpret: bool = False,
     use_pallas_gru: bool = True, batched: Optional[bool] = None,
+    bf16: bool = False,
 ) -> jnp.ndarray:
     """ReferenceEncoder forward from raw variables (inference): fused conv
     stack kernel + GRU -> (B, ref_gru_dim) reference embedding. Numerics
@@ -405,12 +445,17 @@ def ref_encoder_pallas(
         scales.append(sc)
         biases.append(bi)
     if batched is None:
-        batched = refenc_batched_supported(ref_mel.shape[1], n_layers)
+        batched = (
+            refenc_batched_supported(ref_mel.shape[1], n_layers)
+            and refenc_batched_vmem_ok(
+                ref_mel.shape[0], ref_mel.shape[1], ref_mel.shape[2],
+                list(gst_cfg.ref_conv_channels))
+        )
     if batched:
         # whole-batch 3-matmul-per-layer form (see KERNEL_BENCH refenc rows
         # for the measured on-chip advantage over the per-element grid form)
         feats = refenc_stack_pallas_batched(ref_mel, kernels, scales, biases,
-                                            interpret=interpret)
+                                            interpret=interpret, bf16=bf16)
     else:
         feats = refenc_stack_pallas(ref_mel, kernels, scales, biases,
                                     interpret=interpret)  # (B, T', F'C)

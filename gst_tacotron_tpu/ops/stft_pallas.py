@@ -245,6 +245,23 @@ def _stft_fused_kernel(chunks_hbm, cos_ref, sin_ref, mel_ref,
         mel_out_ref[0] = _db_normalize(mel_acc[...], norm)
 
 
+def live_tap_span(cfg: AudioConfig) -> Tuple[int, int, int]:
+    """(j0, j1, n_live): the hop-chunk span [j0, j1) of the padded window
+    with any nonzero tap, and its sample count n_live = (j1-j0)*hop. This is
+    THE live matmul-K dimension after zero-tap elision — the single source of
+    truth shared by the fused kernel and the roofline FLOP accounting
+    (ADVICE r3: a closed-form approximation overstated it by ~25% at
+    production params, where win 1024 / fft 2048 / hop 256 gives exactly 4
+    live chunks = 1024 samples, not 1280)."""
+    cfg_hop, n_fft = cfg.hop_length, cfg.n_fft
+    k = n_fft // cfg_hop
+    win = padded_window(cfg.win_length, n_fft)
+    live = [j for j in range(k)
+            if np.any(win[j * cfg_hop: (j + 1) * cfg_hop] != 0.0)]
+    j0, j1 = (live[0], live[-1] + 1) if live else (0, k)
+    return j0, j1, (j1 - j0) * cfg_hop
+
+
 def stft_features_pallas_fused(
     wav: jnp.ndarray,
     cfg: AudioConfig,
@@ -276,11 +293,7 @@ def stft_features_pallas_fused(
 
     cos_b, sin_b, mel_b, n_freq_pad = _bases(cfg)
     # live window taps (zero-tap elision; see _stft_fused_kernel)
-    win = padded_window(cfg.win_length, n_fft)
-    live = [j for j in range(k)
-            if np.any(win[j * cfg_hop: (j + 1) * cfg_hop] != 0.0)]
-    j0, j1 = (live[0], live[-1] + 1) if live else (0, k)
-    n_live = (j1 - j0) * cfg_hop
+    j0, j1, n_live = live_tap_span(cfg)
     cos_b = cos_b[j0 * cfg_hop: j1 * cfg_hop]
     sin_b = sin_b[j0 * cfg_hop: j1 * cfg_hop]
     t_pad = _round_up(max(num_frames, TILE_F), TILE_F)

@@ -6,6 +6,7 @@ from .mesh import (
     data_sharding,
     initialize_distributed,
     make_mesh,
+    replicate_tree,
     replicated,
     shard_batch,
 )
@@ -17,6 +18,7 @@ __all__ = [
     "MODEL_AXIS",
     "make_mesh",
     "data_sharding",
+    "replicate_tree",
     "replicated",
     "shard_batch",
     "initialize_distributed",

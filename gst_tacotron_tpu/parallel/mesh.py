@@ -62,9 +62,34 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def replicate_tree(tree, mesh: Mesh):
+    """Replicate a host-local tree onto every device of a (possibly multi-
+    process) mesh. Values must be identical on every process (they are:
+    init_state and checkpoint restore are deterministic per seed/step)."""
+    rep = replicated(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                rep, np.asarray(x)), tree
+        )
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), tree)
+
+
 def shard_batch(batch, mesh: Mesh):
-    """Place a host batch dict onto the mesh, batch dim over `data`."""
+    """Place a host batch dict onto the mesh, batch dim over `data`.
+
+    Single-process: a plain device_put with the global sharding. Multi-
+    process: each host holds only its contiguous slice of the global batch
+    (BucketedLoader's global-plan sharding), so the global jax.Array is
+    assembled from process-local data — device_put with a sharding that
+    spans non-addressable devices is not a valid way to build it.
+    """
     sharding = data_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), batch
+        )
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch
     )

@@ -357,6 +357,13 @@ class Trainer:
         self.model, self.state = init_state(
             cfg, jax.random.PRNGKey(cfg.train.seed), sample
         )
+        if mesh is not None and jax.process_count() > 1:
+            # multi-process: the freshly-initialized (process-local) state
+            # must become a global replicated jax.Array before the sharded
+            # step can consume it (init is deterministic per seed, so every
+            # process holds identical values)
+            from .parallel import replicate_tree
+            self.state = replicate_tree(self.state, mesh)
         self.tx = make_optimizer(cfg.optimizer)
         self.step_fn = make_train_step(self.model, self.tx, cfg, mesh)
         self.corpus = None
@@ -364,23 +371,22 @@ class Trainer:
             if not cfg.data.wav_transport:
                 raise ValueError("data.device_corpus requires "
                                  "data.wav_transport=true")
-            wav_np, ints_np = self.loader.build_wav_corpus()
-            gb = (wav_np.nbytes + ints_np.nbytes) / 1e9
+            corpora = self.loader.build_wav_corpus()
+            gb = sum(w.nbytes + i.nbytes for w, i in corpora.values()) / 1e9
             if gb > cfg.data.device_corpus_max_gb:
                 raise ValueError(
                     f"prepped corpus is {gb:.2f} GB > "
                     f"data.device_corpus_max_gb={cfg.data.device_corpus_max_gb}"
                     "; lower bucket bounds or disable device_corpus")
-            self._corpus_t_max = ints_np.shape[1] - 4
-            if mesh is not None:
-                rep = NamedSharding(mesh, P())
-                self.corpus = (jax.device_put(wav_np, rep),
-                               jax.device_put(ints_np, rep))
-            else:
-                self.corpus = (jnp.asarray(wav_np), jnp.asarray(ints_np))
+            put = ((lambda x: jax.device_put(x, NamedSharding(mesh, P())))
+                   if mesh is not None else jnp.asarray)
+            self.corpus = {b: (put(w), put(i)) for b, (w, i) in
+                           corpora.items()}
             self._corpus_step_fns: Dict[Tuple[int, int], Any] = {}
-            print(f"[trainer] device corpus resident: {wav_np.shape[0]} rows,"
-                  f" {gb:.2f} GB")
+            rows = sum(w.shape[0] for w, _ in corpora.values())
+            print(f"[trainer] device corpus resident: {rows} rows in "
+                  f"{len(corpora)} bucket array(s), {gb:.2f} GB")
+            self.device_corpus_gb = gb
         self.eval_fn = None
         if self.val_loader is not None:
             fn = functools.partial(eval_step, self.model, cfg)
@@ -393,7 +399,13 @@ class Trainer:
             os.path.join(work_dir, cfg.train.checkpoint_dir),
             keep=cfg.train.keep_checkpoints,
         )
-        self.logger = MetricLogger(os.path.join(work_dir, "logs"))
+        # multi-host: one shared workdir (orbax coordinates the checkpoint
+        # across processes), but per-rank log streams — every process writing
+        # one metrics.jsonl would interleave duplicate records
+        rank = jax.process_index()
+        log_dir = os.path.join(
+            work_dir, "logs" if rank == 0 else f"logs_rank{rank}")
+        self.logger = MetricLogger(log_dir, use_tensorboard=(rank == 0))
 
     def run_eval(self, step: int, max_batches: int = 8) -> Dict[str, float]:
         """Teacher-forced losses over (up to) max_batches held-out batches."""
@@ -413,7 +425,12 @@ class Trainer:
         return {}
 
     def _corpus_step_fn(self, spec):
-        """Per-bucket jitted device-corpus step (cached by bucket dims)."""
+        """Per-bucket jitted device-corpus step (cached by bucket dims).
+
+        Corpus arrays are stored at their own bucket's shapes (per-bucket
+        corpora), so t_max == spec.max_text and the step's row slicing is an
+        identity — the general slicing form is kept so the step is also
+        usable with rows wider than the bucket."""
         key = (spec.max_text, spec.max_frames)
         fn = self._corpus_step_fns.get(key)
         if fn is None:
@@ -421,7 +438,7 @@ class Trainer:
                        + self.cfg.audio.n_fft)
             fn = make_corpus_train_step(
                 self.model, self.tx, self.cfg, spec.max_text, sig_len,
-                self._corpus_t_max, self.mesh)
+                spec.max_text, self.mesh)
             self._corpus_step_fns[key] = fn
         return fn
 
@@ -430,6 +447,10 @@ class Trainer:
         if step is None:
             return False
         self.state = self.ckpt.restore(self.state, step)
+        if self.mesh is not None and jax.process_count() > 1:
+            from .parallel import replicate_tree
+            self.state = replicate_tree(
+                jax.device_get(self.state), self.mesh)
         return True
 
     def _device_batch(self, batch):
@@ -462,10 +483,10 @@ class Trainer:
         for _ in range(start_step, total):
             profiler.tick()
             if self.corpus is not None:
-                rows, spec = next(it)
+                b, rows, spec = next(it)
+                c_wav, c_ints = self.corpus[b]
                 self.state, metrics = self._corpus_step_fn(spec)(
-                    self.state, self.corpus[0], self.corpus[1],
-                    jnp.asarray(rows))
+                    self.state, c_wav, c_ints, jnp.asarray(rows))
             else:
                 batch = self._device_batch(next(it))
                 self.state, metrics = self.step_fn(self.state, batch)
@@ -496,6 +517,8 @@ class Trainer:
 def default_eval_hook(trainer: "Trainer", step: int) -> None:
     """Periodic qualitative eval (reference Model.py's fixed-sentence
     synthesis with alignment/audio dumps; SURVEY.md §3.2 'every K')."""
+    if jax.process_index() != 0:
+        return  # one copy of the qualitative artifacts per run, not per host
     from .synthesize import Synthesizer
 
     cfg = trainer.cfg

@@ -69,15 +69,34 @@ class VocoderSegmentLoader:
                 "no usable utterances for vocoder training; patterns must be "
                 "generated with --store-wav and exceed segment_frames"
             )
-        self.num_mels = int(dataset.load(self.usable[0])["mel"].shape[1])
-        self._cache: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+        self._audio_cfg = None  # set for wav-only shards (mel on demand)
+        probe = self._get(self.usable[0])
+        self.num_mels = int(probe[0].shape[1])
 
     def _get(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
+        if not hasattr(self, "_cache"):
+            self._cache: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
         hit = self._cache.get(idx)
         if hit is None:
             item = self.ds.load(idx)
-            hit = (item["mel"].astype(np.float16),
-                   item["wav"].astype(np.float16))
+            if "mel" not in item:
+                # wav-only shard: compute the mel from the stored waveform
+                # (the numpy oracle — identical params to the on-device
+                # features the seq2seq stage trains/infers on)
+                from .dsp import ref as dsp_ref
+
+                if self._audio_cfg is None:
+                    from .config import AudioConfig
+
+                    meta = self.ds.metadata.get("audio", {})
+                    self._audio_cfg = AudioConfig(**{
+                        k: v for k, v in meta.items()
+                        if k in AudioConfig.__dataclass_fields__})
+                mel = dsp_ref.melspectrogram(
+                    np.asarray(item["wav"], np.float64), self._audio_cfg)
+            else:
+                mel = item["mel"]
+            hit = (mel.astype(np.float16), item["wav"].astype(np.float16))
             self._cache[idx] = hit
         return hit
 

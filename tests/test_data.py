@@ -80,6 +80,28 @@ def test_loader_deterministic_and_sharded(pattern_dir):
     assert utt_set(s0).isdisjoint(utt_set(s1))
 
 
+def test_loader_global_stream_shard_invariant(pattern_dir):
+    """batch_size is the GLOBAL batch: the concatenation of every host's
+    contiguous slice reproduces the single-host batch stream exactly, for any
+    shard count. This is the invariant the real 2-process jax.distributed
+    run's loss-parity assert rests on (tools/multiproc_train.py), and it also
+    guarantees every host's plan has the same length (no multi-host step
+    desync on odd bucket counts)."""
+    cfg = DataConfig(batch_size=4, buckets=((64, 400), (256, 1600)))
+    ds = PatternDataset(pattern_dir)
+    single = BucketedLoader(ds, cfg, 2, seed=11)
+    shards = [BucketedLoader(ds, cfg, 2, seed=11, shard_index=r, num_shards=2)
+              for r in range(2)]
+    plan_s = single._epoch_batches(0)
+    plans = [s._epoch_batches(0) for s in shards]
+    assert len(plan_s) == len(plans[0]) == len(plans[1])
+    for k in range(len(plan_s)):
+        chunk, spec = plan_s[k]
+        merged = plans[0][k][0] + plans[1][k][0]
+        assert merged == chunk
+        assert plans[0][k][1] == spec == plans[1][k][1]
+
+
 def test_loader_resume_stream(pattern_dir):
     """stream(start_batch=k) continues exactly where batch k of the
     deterministic stream falls — checkpoint resume must not replay epoch 0
@@ -189,3 +211,61 @@ def test_vctk_walker_multispeaker(tmp_path):
     ds = PatternDataset(str(out))
     assert ds.num_speakers == 2
     assert {e["speaker_id"] for e in ds.entries} == {0, 1}
+
+def test_wav_only_patterns_and_variable_lengths(tmp_path):
+    """--wav-only shards: no offline features on disk, mel_len from the
+    frame-count formula (must equal the oracle's), wav stored f16; the
+    feature-mode loader must reject them with a clear error; the variable
+    synthetic corpus occupies multiple buckets (VERDICT r3 item 3)."""
+    from gst_tacotron_tpu.dsp import ref as dsp_ref
+
+    out = str(tmp_path / "wavonly")
+    utts = synthetic_utterances(24, num_speakers=1, variable=True)
+    # variable mode: unique texts, genuinely varied lengths
+    texts = {u.text for u in utts}
+    assert len(texts) == 24
+    lens = sorted(len(u.text) for u in utts)
+    assert lens[0] < 40 and lens[-1] > 120
+
+    meta = generate_patterns(utts, FAST_AUDIO, out, wav_only=True)
+    assert all(e["wav_only"] and e["has_wav"] for e in meta["entries"])
+    # full audio config recorded (wav-only consumers rebuild mel from it)
+    assert meta["audio"]["win_length"] == FAST_AUDIO.win_length
+
+    ds = PatternDataset(out)
+    item = ds.load(0, wav_only=True)
+    assert item["wav"].dtype == np.float16
+    assert "mel" not in ds.load(0)
+    # metadata mel_len (1 + len//hop) == the oracle's frame count
+    mel = dsp_ref.melspectrogram(
+        np.asarray(item["wav"], np.float64), FAST_AUDIO)
+    assert meta["entries"][0]["mel_len"] == mel.shape[0]
+
+    # feature-mode loader rejects wav-only shards up front
+    cfg_feat = DataConfig(batch_size=2, buckets=((64, 400), (256, 1600)))
+    with pytest.raises(ValueError, match="wav-only"):
+        BucketedLoader(ds, cfg_feat, 2)
+
+    # wav-transport loader assembles wire batches from them
+    cfg_wav = DataConfig(batch_size=2, buckets=((64, 400), (256, 1600)),
+                         wav_transport=True)
+    loader = BucketedLoader(ds, cfg_wav, 2, audio_cfg=FAST_AUDIO)
+    occupied = [len(m) for m in loader.bucket_members]
+    assert all(n > 0 for n in occupied), occupied  # multiple buckets hit
+    batch = next(iter(loader.epoch(0)))
+    assert batch["wav"].dtype == np.float16
+    assert np.isfinite(batch["wav"].astype(np.float32)).all()
+
+
+def test_vocoder_loader_wav_only(tmp_path):
+    """VocoderSegmentLoader computes mel on demand from wav-only shards."""
+    from gst_tacotron_tpu.vocoder_train import VocoderSegmentLoader
+
+    out = str(tmp_path / "wavonly_voc")
+    generate_patterns(synthetic_utterances(4), FAST_AUDIO, out, wav_only=True)
+    loader = VocoderSegmentLoader(PatternDataset(out), FAST_AUDIO.hop_length,
+                                  segment_frames=8, batch_size=2)
+    batch = next(iter(loader))
+    assert batch["mel"].shape == (2, 8, FAST_AUDIO.num_mels)
+    assert batch["wav"].shape == (2, 8 * FAST_AUDIO.hop_length)
+    assert np.isfinite(batch["mel"].astype(np.float32)).all()

@@ -68,6 +68,24 @@ def test_refenc_batched_kernel_matches_flax_module():
                                atol=1e-5)
 
 
+def test_refenc_batched_kernel_bf16_close():
+    """Opt-in bf16 operands (the r4 floor-analysis fix — the kernel is
+    compute-bound on its inflated dense-banded FLOPs, so the MXU's double
+    bf16 rate is the remaining lever): the GRU-state embedding must stay
+    close to the f32 kernel; exactness is not expected."""
+    model, params, stats, mel, lengths = _init_ref_encoder(b=2, t=24)
+    f32 = ref_encoder_pallas(params, stats, CFG, mel, lengths,
+                             interpret=True)
+    b16 = ref_encoder_pallas(params, stats, CFG, mel, lengths,
+                             interpret=True, bf16=True)
+    a, b = np.asarray(f32), np.asarray(b16)
+    # tanh-bounded GRU state: absolute tolerance is the meaningful one
+    assert np.max(np.abs(a - b)) < 0.05, np.max(np.abs(a - b))
+    cos = np.sum(a * b, -1) / np.maximum(
+        np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1), 1e-9)
+    assert np.all(cos > 0.995), cos
+
+
 def test_refenc_batched_kernel_flagship_shape():
     # the production 6-layer stack at (B, 256, 80): exercises the odd-width
     # SAME-pad layer (w=5 -> pl_w=1) and the deep pad-row halving chain

@@ -187,17 +187,14 @@ def test_device_corpus_bitwise_matches_wire(pattern_dir, tmp_path):
     tr_c = Trainer(cfg_corp, pattern_dir, str(tmp_path / "c"))
     assert tr_c.corpus is not None
 
-    # the corpus row sliced to its bucket reproduces the wire batch exactly
-    rows, spec = next(tr_c.loader.stream_indices(0))
+    # the per-bucket corpus rows ARE the wire rows (bit-identical)
+    b_idx, rows, spec = next(tr_c.loader.stream_indices(0))
     wire_batch = next(iter(tr_w.loader.stream(0)))
     sig_len = (spec.max_frames - 1) * cfg_wire.audio.hop_length + cfg_wire.audio.n_fft
-    wav_rows = np.asarray(tr_c.corpus[0])[rows][:, :sig_len]
-    ints_rows = np.asarray(tr_c.corpus[1])[rows]
-    t_max = tr_c._corpus_t_max
-    ints = np.concatenate(
-        [ints_rows[:, : spec.max_text], ints_rows[:, t_max:]], axis=1)
-    np.testing.assert_array_equal(wav_rows, wire_batch["wav"])
-    np.testing.assert_array_equal(ints, wire_batch["ints"])
+    c_wav, c_ints = tr_c.corpus[b_idx]
+    assert c_wav.shape[1] == sig_len  # stored at the bucket's own shape
+    np.testing.assert_array_equal(np.asarray(c_wav)[rows], wire_batch["wav"])
+    np.testing.assert_array_equal(np.asarray(c_ints)[rows], wire_batch["ints"])
 
     # identical two-step training trajectory
     s_w = tr_w.train(total_steps=2)

@@ -70,6 +70,59 @@ def tiny_golden_config():
     return apply_overrides(get_preset("gst_lj"), ov)
 
 
+PROD_FIXTURE_DIR = os.path.join(os.path.dirname(__file__), os.pardir,
+                                "tests", "fixtures", "golden_prod")
+PROD_TEXTS = [
+    "production dimensions pin the full numeric path.",
+]
+
+
+def prod_golden_config():
+    """FULL production dims (VERDICT r3 item 8: the tiny fixture left
+    n_fft 2048 / 6-conv GST / 1025-bin postnet numerics ungated): the
+    unmodified gst_lj preset, decode bounded for fixture speed."""
+    from gst_tacotron_tpu.config import apply_overrides, get_preset
+
+    return apply_overrides(get_preset("gst_lj"), {
+        "model.decoder.max_decode_steps": 12,
+        # an untrained stop head must not truncate the fixture decode
+        "model.decoder.stop_threshold": 1.5,
+        "audio.griffin_lim_iters": 2,  # mel is what the gate compares
+    })
+
+
+def _prod_init_variables(cfg):
+    """Deterministic seeded init — the production param pack is ~80 MB,
+    too large to commit, and init is reproducible; the gate therefore also
+    pins init determinism."""
+    import jax
+    import jax.numpy as jnp
+
+    from gst_tacotron_tpu.train import build_model
+
+    model = build_model(cfg)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(4321), "dropout": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 8), jnp.int32), jnp.array([8]),
+        jnp.zeros((1, 64, cfg.model.num_mels)),
+        ref_mel=jnp.zeros((1, 64, cfg.model.num_mels)),
+        ref_mel_lengths=jnp.array([64]), train=True,
+    )
+    return model, variables
+
+
+def build_synth_prod(fixture_dir: str):
+    """Rebuild the production-dim fixture Synthesizer (shared with the CI
+    gate; params come from the seeded init, only config + expected mel are
+    committed)."""
+    from gst_tacotron_tpu.config import load_config
+    from gst_tacotron_tpu.synthesize import Synthesizer
+
+    cfg = load_config(os.path.join(fixture_dir, "config.json"))
+    model, variables = _prod_init_variables(cfg)
+    return cfg, Synthesizer(cfg, model, variables)
+
+
 def flatten_tree(tree, prefix=""):
     flat = {}
     for k, v in tree.items():
@@ -155,6 +208,19 @@ def main():
     print(f"ref_wav_0: mel {out['mel'][0].shape} "
           f"|mel| {np.abs(out['mel'][0]).mean():.4f}")
     print(f"fixtures written to {FIXTURE_DIR}")
+
+    # -- production-dim fixture (full gst_lj preset numerics) ----------------
+    os.makedirs(PROD_FIXTURE_DIR, exist_ok=True)
+    pcfg = prod_golden_config()
+    save_config(pcfg, os.path.join(PROD_FIXTURE_DIR, "config.json"))
+    pcfg, psynth = build_synth_prod(PROD_FIXTURE_DIR)
+    for i, text in enumerate(PROD_TEXTS):
+        out = psynth([text], seed=0)
+        save_fixture(os.path.join(PROD_FIXTURE_DIR, f"text_{i}.npz"),
+                     text, np.asarray(out["mel"][0]))
+        print(f"prod text_{i}: mel {out['mel'][0].shape} "
+              f"|mel| {np.abs(out['mel'][0]).mean():.4f}")
+    print(f"production-dim fixtures written to {PROD_FIXTURE_DIR}")
 
 
 if __name__ == "__main__":

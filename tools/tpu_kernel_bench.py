@@ -407,11 +407,12 @@ def main():
     }
     n_freq_pad = ((cfg.audio.num_freq + 127) // 128) * 128
     t_pad_f = ((t_frames + 127) // 128) * 128
-    # matmul K dim = the window's LIVE span (zero-tap elision; win_length
-    # 1024 in n_fft 2048 -> 1024 live rows)
-    n_live = min(cfg.audio.n_fft,
-                 ((cfg.audio.win_length + cfg.audio.hop_length - 1)
-                  // cfg.audio.hop_length + 1) * cfg.audio.hop_length)
+    # matmul K dim = the window's LIVE span (zero-tap elision), taken from
+    # the kernel's own computation — a closed-form approximation here
+    # overstated FLOPs ~25% at production params (ADVICE r3)
+    from gst_tacotron_tpu.ops.stft_pallas import live_tap_span
+
+    _, _, n_live = live_tap_span(cfg.audio)
     fflops = (2 * bb * t_pad_f * n_live * n_freq_pad * 2
               + 2 * bb * t_pad_f * n_freq_pad * 128)
     fbytes = 4 * (bb * t_pad_f * cfg.audio.hop_length
@@ -574,6 +575,99 @@ def main():
         report["roofline"].append(
             roofline(f"ref_encoder_{form}_marginal", rflops, rbytes, marg,
                      peaks))
+
+    # ---- bf16 batched form (the r4 floor-analysis targeted fix) -----------
+    def make_refenc_bf16_loop(n):
+        @jax.jit
+        def f(acc, rflat, mel_in):
+            v = rpfp.unpack(rflat)
+
+            def body(i, a):
+                emb = ref_encoder_pallas(
+                    v["params"], v["batch_stats"], cfg.model.gst,
+                    mel_in + a * 1e-12, batched=True, bf16=True)
+                return a + jnp.sum(emb) * 1e-9
+
+            return acc * 1e-9 + jax.lax.fori_loop(0, n, body,
+                                                  jnp.float32(0.0))
+        return f
+
+    t_lo = timed(make_refenc_bf16_loop(n0), (rpfp.flat, mel_in), iters=10,
+                 name=f"refenc batched-bf16 x{n0} in-program")
+    t_hi = timed(make_refenc_bf16_loop(n1), (rpfp.flat, mel_in), iters=10,
+                 name=f"refenc batched-bf16 x{n1} in-program")
+    marg_bf16 = (t_hi - t_lo) / (n1 - n0)
+    report["ref_encoder_marginal_us"]["batched_bf16"] = marg_bf16 * 1e6
+    log(f"refenc batched-bf16 marginal: {marg_bf16*1e6:.1f} us/call")
+
+    # ---- memory/compute floor analysis (VERDICT r3 #6) ---------------------
+    # THE minimal HBM traffic any implementation must pay at (8, 256, 80):
+    # read the input once, read every true weight once, write the embedding.
+    from gst_tacotron_tpu.ops.refenc_pallas import (
+        build_refenc_bmats, fold_bn,
+    )
+
+    true_weight_elems = sum(
+        int(np.prod(np.shape(x)))
+        for x in jax.tree_util.tree_leaves(rparams))
+    emb_elems = 8 * cfg.model.gst.ref_gru_dim
+    true_min_bytes = 4 * (int(mel_in.size) + true_weight_elems + emb_elems)
+
+    # the batched DESIGN's own obligatory traffic and FLOPs: dense block-
+    # banded phase matrices (the width-tap/channel fold inflates both)
+    kernels_l = [rparams[f"conv_{i}"]["kernel"]
+                 for i in range(len(cfg.model.gst.ref_conv_channels))]
+    scales_l, biases_l = [], []
+    for i in range(len(kernels_l)):
+        sc, bi = fold_bn(rparams[f"bn_{i}"], rstats[f"bn_{i}"])
+        scales_l.append(sc)
+        biases_l.append(bi)
+    mats, plan = build_refenc_bmats(kernels_l, scales_l, biases_l,
+                                    256, cfg.model.num_mels)
+    design_mat_elems = sum(int(np.prod(a.shape)) for layer in mats
+                           for a in layer)
+    design_flops = 0
+    for lp in plan:
+        design_flops += (3 * 2 * (8 * lp["hp_out"])
+                         * (lp["wp_in"] * lp["c_in"])
+                         * (lp["wp_out"] * lp["c_out"]))
+    design_bytes_f32 = 4 * (int(mel_in.size) + design_mat_elems + emb_elems)
+    bw = peaks["hbm_gbps"] * 1e9
+    tf_bf16 = peaks["bf16_tflops"] * 1e12
+    tf_f32 = tf_bf16 / 2  # MXU f32 rate is half the bf16 rate on v5e
+    marg_batched = report["ref_encoder_marginal_us"]["batched"] * 1e-6
+    report["ref_encoder_floor_analysis"] = {
+        "shape": "(8, 256, 80) incl. GRU tail",
+        "true_min_bytes": true_min_bytes,
+        "true_memory_floor_us": true_min_bytes / bw * 1e6,
+        "design_bytes_f32": design_bytes_f32,
+        "design_flops": design_flops,
+        "design_compute_floor_f32_us": design_flops / tf_f32 * 1e6,
+        "design_compute_floor_bf16_us": design_flops / tf_bf16 * 1e6,
+        "measured_batched_us": marg_batched * 1e6,
+        "measured_batched_bf16_us": marg_bf16 * 1e6,
+        "batched_vs_own_f32_compute_floor": (
+            design_flops / tf_f32) / marg_batched,
+        "batched_bf16_vs_own_bf16_compute_floor": (
+            design_flops / tf_bf16) / marg_bf16,
+        "true_floor_fraction_f32": (true_min_bytes / bw) / marg_batched,
+        "note": (
+            "The batched form deliberately inflates FLOPs (dense block-"
+            "banded phase matmuls fold width taps + channel mix into MXU-"
+            "shaped matmuls) to escape the conv's tiny-matmul ~6% MXU "
+            "utilization; it is therefore COMPUTE-bound on its own design "
+            "FLOPs, not HBM-bound. The true-minimal-bytes memory floor is "
+            "unreachable by ANY dense-matmul formulation of this stack — "
+            "reaching it requires minimal-FLOP convs whose shapes the MXU "
+            "cannot tile efficiently (the measured 5-15x slower grid/XLA "
+            "forms). bf16 operands double the MXU rate, the one lever "
+            "left; fraction-of-own-floor near 1.0 retires the gap."
+        ),
+    }
+    log(f"refenc floor: true-min {true_min_bytes/1e6:.2f} MB "
+        f"({true_min_bytes/bw*1e6:.1f} us), design compute floor f32 "
+        f"{design_flops/tf_f32*1e6:.1f} us / bf16 "
+        f"{design_flops/tf_bf16*1e6:.1f} us")
 
     # on-chip parity: fused kernel vs flax module (Mosaic-compiled)
     @jax.jit
