@@ -17,8 +17,8 @@ the actual multi-host code path end to end, on this sandbox's CPU backend
   * the orbax checkpoint written cooperatively by both processes.
 
 Protocol: generate a synthetic corpus once; run the SAME tiny GST config
-(a) as 1 process x 8 virtual devices and (b) as 2 processes x 4 virtual
-devices each (same 8-way global data mesh, same global batches — the
+(a) as 1 process x 2 virtual devices and (b) as 2 processes x 1 virtual
+device each (same 2-way global data mesh, same global batches — the
 loader's global plan is shard-count-invariant by construction). The per-step
 loss trajectories must match to float tolerance: the only difference between
 the runs is which process executes which shard and that gradient reductions
@@ -154,18 +154,23 @@ def main():
                    "Gloo through jax.distributed",
     }
 
-    # Mesh width 4 (not 8): this sandbox has 4 physical cores, and Gloo
-    # busy-polls its sockets — 2 processes x 4 devices measured 90 s/step
-    # from pure oversubscription. 2 x 2 devices keeps the run honest (every
-    # gradient psum still crosses the process boundary) at a sane rate.
-    # ---- run A: single process, 4 virtual devices ---------------------------
+    # Mesh width 2 (1 device per process): Gloo's per-step collective cost
+    # scales hard with participant count on this 4-core host — measured
+    # steady-state 6.7 s/step at 2 procs x 1 dev vs 21.6 s/step at
+    # 2 x 2 (pinned or not; the cost is collective latency, not core
+    # contention — unpinned 2 x 2 also measured ~23 s/step on a quiet box).
+    # 1 device per process is also the configuration where EVERY gradient
+    # psum crosses the process boundary, which is exactly the path under
+    # test; the only gloo alternative (jax_cpu_collectives_implementation
+    # "mpi") has no MPI runtime in this sandbox.
+    # ---- run A: single process, 2 virtual devices ---------------------------
     w1 = os.path.join(root, "single")
     t0 = time.time()
-    pa = run_cli(w1, pattern_dir, cfg_path, args.steps, devices_per_proc=4)
-    out_a, _ = pa.communicate(timeout=1800)
+    pa = run_cli(w1, pattern_dir, cfg_path, args.steps, devices_per_proc=2)
+    out_a, _ = pa.communicate(timeout=7200)
     report["single_process"] = {
         "rc": pa.returncode, "wall_s": round(time.time() - t0, 1),
-        "devices": 4, "processes": 1,
+        "devices": 2, "processes": 1,
     }
     print(f"[multiproc] single-process run rc={pa.returncode} "
           f"({report['single_process']['wall_s']}s)")
@@ -173,22 +178,22 @@ def main():
         print(out_a[-4000:])
         sys.exit(1)
 
-    # ---- run B: 2 processes x 2 devices, same 4-way global mesh -------------
+    # ---- run B: 2 processes x 1 device, same 2-way global mesh --------------
     w2 = os.path.join(root, "multi")
     t0 = time.time()
     procs = [
-        run_cli(w2, pattern_dir, cfg_path, args.steps, devices_per_proc=2,
+        run_cli(w2, pattern_dir, cfg_path, args.steps, devices_per_proc=1,
                 rank=r, num_processes=2)
         for r in range(2)
     ]
     outs = []
     for r, proc in enumerate(procs):
-        out, _ = proc.communicate(timeout=1800)
+        out, _ = proc.communicate(timeout=7200)
         outs.append(out)
     report["two_process"] = {
         "rc": [p.returncode for p in procs],
         "wall_s": round(time.time() - t0, 1),
-        "devices": 4, "processes": 2, "devices_per_process": 2,
+        "devices": 2, "processes": 2, "devices_per_process": 1,
         "coordinator": f"127.0.0.1:{PORT}",
     }
     print(f"[multiproc] 2-process run rcs={report['two_process']['rc']} "
@@ -232,12 +237,16 @@ def main():
         ) if os.path.isdir(ckpt_dir) else [],
     }
 
+    # this sandbox's XLA:CPU spews multi-KB AOT host-feature warnings that
+    # would otherwise be the entire tail — filter before excerpting
+    rank0_lines = [l for l in outs[0].splitlines()
+                   if "cpu_aot_loader" not in l and "machine features" not in l]
     with open(args.out, "w") as f:
         f.write("# MULTIPROC — real 2-process jax.distributed training run\n")
         f.write("# (VERDICT r3 next-round item 1; SURVEY §2.3 comm backend)\n")
         f.write(json.dumps(report, indent=2) + "\n")
         f.write("\n## rank 0 output tail\n")
-        f.write(outs[0][-3000:] + "\n")
+        f.write("\n".join(rank0_lines[-30:]) + "\n")
     print(f"[multiproc] parity_ok={ok} max_rel_diff="
           f"{report['loss_parity']['max_rel_diff']:.2e}")
     print(f"[multiproc] report -> {args.out}")
