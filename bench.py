@@ -76,7 +76,10 @@ def build(cfg_overrides=None, checkpoint_workdir=None, batch=None):
         cfg = apply_overrides(get_preset("gst_lj"), ov)
 
     rng = np.random.default_rng(0)
-    t_text, t_mel, batch = 64, 128, (batch or 8)
+    # default batch 32 = the measured throughput optimum of the r4 sweep
+    # (BENCH_r04_sweep.json: 4746 audio-s/s at B=32 vs 3995 at the old B=8;
+    # B=64 regresses to 4608)
+    t_text, t_mel, batch = 64, 128, (batch or 32)
     if checkpoint_workdir is not None:
         # real sentences, not random ids: stop-token timing on a trained
         # model only makes sense for text it was trained to speak
@@ -849,6 +852,13 @@ def main():
     p.add_argument("--batch", type=int,
                    help="synthesis batch size (default: the measured "
                         "optimum; see BENCH_r04_sweep.json)")
+    p.add_argument("--no-pallas-pipeline", action="store_true",
+                   help="skip the Pallas-decode pipeline and bench only the "
+                        "monolithic XLA program. Required for batch-size "
+                        "sweeps at B>8: the Mosaic compile of the fused "
+                        "decode kernel at B=16 hung the remote compiler "
+                        ">30 min and wedged the device for over an hour "
+                        "(observed 2026-08-20)")
     p.add_argument("--checkpoint",
                    help="training workdir: bench the TRAINED model with real "
                         "stop-token termination (BASELINE decode-steps/sec)")
@@ -908,7 +918,13 @@ def main():
     # runtime session (measured: same pipeline 18ms fresh vs ~1s after).
     pallas_tput = None
     pallas_result = None
-    if cfg.model.attention.kind == "bahdanau" and args.checkpoint is None:
+    # B<=8 guard: the Mosaic fused-decode compile at B=16 hung the remote
+    # compiler and wedged the device for ~90 min (2026-08-20); at the B=32
+    # default the headline comes from the monolithic XLA program, which the
+    # r4 sweep measured fastest anyway (BENCH_r04_sweep.json)
+    if (cfg.model.attention.kind == "bahdanau" and args.checkpoint is None
+            and not args.no_pallas_pipeline
+            and sample["tokens"].shape[0] <= 8):
         try:
             pa_audio, pa_dt, pa_steps = bench_fused_pallas(
                 cfg, model, state, sample)

@@ -272,8 +272,9 @@ class BucketedLoader:
         batch-fetch cost vs ~90 ms for uploading the f16 wav wire at B=16
         through this runtime's ~50 MB/s host->device tunnel. One array pair
         per OCCUPIED bucket (not one global-max array: padding every short
-        utterance to the longest bucket costs ~45% extra HBM on a
-        length-varied corpus — measured 8.0 -> 5.5 GB at 13k utterances),
+        utterance to the longest bucket costs ~44% extra HBM on a
+        length-varied corpus — measured 7.61 -> 5.29 GB on the 12,932-entry
+        variable-length corpus, gst_lj buckets),
         each row bit-identical to `_assemble_wav`'s wire row for that
         bucket, so `train._materialize_features` is reused unchanged.
 
