@@ -63,7 +63,12 @@ python -m gst_tacotron_tpu.synthesize --workdir "$WORK/flagship" \
 
 cp "$WORK/flagship/logs/metrics.jsonl" demo/round4/train_metrics.jsonl
 
-# Trained bench (real stop-token termination) + config-5 pipeline number.
+# Trained bench (real stop-token termination, B=32 default).
 python bench.py --checkpoint "$WORK/flagship" \
   --details BENCH_trained_r04_details.json > BENCH_trained_r04.json || true
+
+# Config-5 pipeline number (batch 8: the Mosaic decode kernel it uses must
+# not be compiled at B>8 — see CLAUDE.md #8/#14).
+python bench.py --batch 8 --config5 --no-pallas-pipeline \
+  --details BENCH_config5_r04.json > /dev/null || true
 echo "regen complete; artifacts in demo/round4*, bench in BENCH_trained_r04.json"

@@ -181,10 +181,23 @@ def main():
             "min_cross_condition_mel_l1": min(cross),
             "mean_cross_condition_mel_l1": float(np.mean(cross)),
             "seed_floor_mel_l1": floor["mel_l1"],
-            "contrast_over_floor": (min(cross)
-                                    / max(floor["mel_l1"], 1e-9)),
+            "min_contrast_over_floor": (min(cross)
+                                        / max(floor["mel_l1"], 1e-9)),
+            "mean_contrast_over_floor": (float(np.mean(cross))
+                                         / max(floor["mel_l1"], 1e-9)),
             "frame_lengths": {n: int(outs[n]["frame_lengths"][0])
                               for n in style_names},
+            # pacing is style too: same text, same seed — only the token
+            # condition changes the decode length. The seed-noise length
+            # delta (uniform vs uniform_seed1) is the floor for THAT.
+            "frame_length_seed_delta": abs(
+                int(outs["uniform"]["frame_lengths"][0])
+                - int(outs["uniform_seed1"]["frame_lengths"][0])),
+            "embedding_note": (
+                "the output-mel ref-encoder embedding is dropout-noisy "
+                "(seed-floor embed_l2 comparable to cross-condition) — "
+                "mel_l1 and frame-length contrasts are the reliable "
+                "metrics on this model"),
         },
     }
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)

@@ -89,6 +89,45 @@ def test_refenc_batched_compiled(tpu, rng):
                        mel, lengths)) < 5e-4
 
 
+def test_refenc_batched_bf16_compiled(tpu, rng):
+    """The r4 bf16-operand variant of the whole-batch kernel (the targeted
+    fix from the floor analysis: the design is compute-bound on its own
+    dense-banded FLOPs, so the doubled MXU bf16 rate is the lever): compiled
+    on-chip closeness to the f32 flax module at the production shape.
+    Exactness is not expected — assert the tanh-bounded GRU embedding stays
+    within bf16 accumulation error."""
+    from gst_tacotron_tpu.models.gst import ReferenceEncoder
+    from gst_tacotron_tpu.ops.refenc_pallas import ref_encoder_pallas
+
+    gst = GSTConfig()
+    num_mels = 80
+    mel = jnp.asarray(rng.normal(0, 1, (8, 256, num_mels)), jnp.float32)
+    lengths = jnp.asarray([256, 250, 64, 199, 31, 128, 256, 7], jnp.int32)
+    model = ReferenceEncoder(gst, num_mels)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        variables = model.init({"params": jax.random.PRNGKey(0)}, mel,
+                               lengths, train=False)
+    variables = jax.device_get(variables)
+
+    @jax.jit
+    def closeness(params, stats, mel, lengths):
+        ref_flax = model.apply({"params": params, "batch_stats": stats},
+                               mel, lengths, train=False)
+        ref_k = ref_encoder_pallas(params, stats, gst, mel, lengths,
+                                   batched=True, bf16=True)
+        abs_err = jnp.max(jnp.abs(ref_flax - ref_k))
+        cos = jnp.sum(ref_flax * ref_k, -1) / jnp.maximum(
+            jnp.linalg.norm(ref_flax, axis=-1)
+            * jnp.linalg.norm(ref_k, axis=-1), 1e-9)
+        return abs_err, jnp.min(cos)
+
+    abs_err, min_cos = closeness(variables["params"],
+                                 variables["batch_stats"], mel, lengths)
+    assert _err(abs_err) < 0.05, _err(abs_err)
+    assert _err(min_cos) > 0.995, _err(min_cos)
+
+
 def test_decode_kernel_compiled_bahdanau(tpu, rng):
     from gst_tacotron_tpu.config import get_preset, apply_overrides
     from gst_tacotron_tpu.models.decoder import Decoder
