@@ -293,6 +293,109 @@ def bench_fused_pallas(cfg, model, state, sample, iterations=10):
     return audio_seconds, dt, decode_steps
 
 
+def bench_fused_pallas_tiled(cfg, model, state, sample, iterations=10,
+                             tile=8):
+    """Pallas-decode pipeline at large batch via BATCH TILING: the decode
+    mega-kernel is launched B//tile times over batch slices inside one jit,
+    each launch at the proven tile=8 Mosaic shape (the monolithic B>=16
+    kernel compile hangs the remote compiler — CLAUDE.md #8/#14; tiling
+    sidesteps it because the kernel program is byte-identical to the B=8
+    one, only the launch count changes). Weights are re-read per launch
+    (~7 MB / 819 GB/s ~= 8.5 us — noise)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gst_tacotron_tpu.dsp import JaxDSP
+    from gst_tacotron_tpu.ops.decode_pallas import (
+        decode_scan_pallas, pack_decoder_weights,
+    )
+    from gst_tacotron_tpu.utils.flatten import FlatTree
+
+    dsp = JaxDSP(cfg.audio)
+    fp = FlatTree({"params": state.params, "batch_stats": state.batch_stats})
+    steps = cfg.model.decoder.max_decode_steps
+    b = sample["tokens"].shape[0]
+    assert b % tile == 0, (b, tile)
+    n_tiles = b // tile
+
+    @jax.jit
+    def encode(flat, tokens, token_lengths, ref_mel, ref_lengths):
+        variables = fp.unpack(flat)
+        style = None
+        if cfg.model.gst.enabled and ref_mel is not None:
+            from gst_tacotron_tpu.ops.refenc_pallas import (
+                gst_style_from_params,
+            )
+
+            style, _ = gst_style_from_params(
+                variables, cfg.model.gst, ref_mel, ref_lengths)
+
+        def fn(mdl):
+            memory, _ = mdl._build_memory(
+                tokens, token_lengths, ref_mel, ref_lengths, None, None,
+                False, precomputed_style=style)
+            keys = mdl.decoder.cell.precompute_keys(memory)
+            return memory, keys
+        return model.apply(variables, method=fn,
+                           rngs={"dropout": jax.random.PRNGKey(0)})
+
+    packed_fp = FlatTree(pack_decoder_weights(
+        jax.device_get(state.params)["decoder"]["cell"],
+        cfg.model.num_mels, cfg.model.decoder.reduction_factor,
+        tuple(cfg.model.decoder.prenet_dims)))
+
+    @jax.jit
+    def decode_tiled(packed_flat, memory, keys, token_lengths):
+        packed = packed_fp.unpack(packed_flat)
+        mask = jnp.arange(memory.shape[1])[None, :] < token_lengths[:, None]
+        mels = []
+        for k in range(n_tiles):
+            sl = slice(k * tile, (k + 1) * tile)
+            mel_k, _, _ = decode_scan_pallas(
+                packed, memory[sl], keys[sl], mask[sl],
+                dec_cfg=cfg.model.decoder, attn_cfg=cfg.model.attention,
+                num_mels=cfg.model.num_mels, steps=steps, use_dropout=True)
+            mels.append(mel_k)
+        return jnp.concatenate(mels, axis=0)
+
+    @jax.jit
+    def finish(flat, mel):
+        variables = fp.unpack(flat)
+        linear = model.apply(
+            variables, mel, None, train=False,
+            method=lambda mdl, m, fl, train: mdl.postnet(m, fl, train=train))
+        wav = dsp.inv_linear_spectrogram(linear)
+        return jnp.sum(wav[:, ::997])
+
+    tokens = jnp.asarray(sample["tokens"])
+    token_lengths = jnp.asarray(sample["token_lengths"])
+    ref_mel = jnp.asarray(sample["mel"])
+    ref_lengths = jnp.asarray(sample["mel_lengths"])
+
+    def pipeline(acc):
+        memory, keys = encode(fp.flat, tokens, token_lengths,
+                              ref_mel + acc * 1e-9, ref_lengths)
+        mel = decode_tiled(packed_fp.flat, memory, keys, token_lengths)
+        return finish(fp.flat, mel)
+
+    t0 = time.perf_counter()
+    acc = pipeline(jnp.float32(0.0))
+    _ = np.asarray(acc)
+    log(f"tiled pallas pipeline (B={b}, {n_tiles}x{tile}) compiled in "
+        f"{time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
+    for _ in range(iterations):
+        acc = pipeline(acc)
+    _ = np.asarray(acc)
+    dt = (time.perf_counter() - t0) / iterations
+    log(f"tiled pallas pipeline steady-state: {dt*1e3:.1f} ms/batch")
+
+    frames = b * steps * cfg.model.decoder.reduction_factor
+    audio_seconds = frames * cfg.audio.hop_length / cfg.audio.sample_rate
+    decode_steps = frames // cfg.model.decoder.reduction_factor
+    return audio_seconds, dt, decode_steps
+
+
 def bench_config5(cfg, model, state, sample, iterations=5):
     """Config-5 end-to-end throughput (BASELINE configs[5]): text -> encoder
     + GST -> fused Pallas decode -> WaveRNN Pallas sampler -> waveform,
@@ -918,16 +1021,19 @@ def main():
     # runtime session (measured: same pipeline 18ms fresh vs ~1s after).
     pallas_tput = None
     pallas_result = None
-    # B<=8 guard: the Mosaic fused-decode compile at B=16 hung the remote
-    # compiler and wedged the device for ~90 min (2026-08-20); at the B=32
-    # default the headline comes from the monolithic XLA program, which the
-    # r4 sweep measured fastest anyway (BENCH_r04_sweep.json)
     if (cfg.model.attention.kind == "bahdanau" and args.checkpoint is None
-            and not args.no_pallas_pipeline
-            and sample["tokens"].shape[0] <= 8):
+            and not args.no_pallas_pipeline):
         try:
-            pa_audio, pa_dt, pa_steps = bench_fused_pallas(
-                cfg, model, state, sample)
+            if sample["tokens"].shape[0] <= 8:
+                pa_audio, pa_dt, pa_steps = bench_fused_pallas(
+                    cfg, model, state, sample)
+            else:
+                # B>8: the MONOLITHIC kernel compile at B=16 hung the remote
+                # compiler and wedged the device ~90 min (2026-08-20); the
+                # batch-TILED pipeline launches the proven B=8 kernel
+                # B//8 times instead (same Mosaic program, safe compile)
+                pa_audio, pa_dt, pa_steps = bench_fused_pallas_tiled(
+                    cfg, model, state, sample)
             pallas_tput = pa_audio / pa_dt / num_chips
             pallas_result = (pa_audio, pa_dt, pa_steps)
         except Exception as e:
@@ -988,12 +1094,19 @@ def main():
                     "per-utterance stopping, not forced full-length decode",
         }
     if args.config5:
-        try:
-            details["config5_wavernn_pipeline"] = bench_config5(
-                cfg, model, state, sample)
-        except Exception as e:
-            details["config5_wavernn_pipeline"] = {"error": str(e)}
-            log(f"config5 bench failed: {e}")
+        if sample["tokens"].shape[0] > 8:
+            # the config-5 pipeline uses the Mosaic fused-decode kernel,
+            # whose compile at B>8 wedges the device (see CLAUDE.md #8/#14)
+            details["config5_wavernn_pipeline"] = {
+                "error": "config5 requires --batch 8 (Mosaic decode kernel)"}
+            log("config5 bench skipped: pass --batch 8")
+        else:
+            try:
+                details["config5_wavernn_pipeline"] = bench_config5(
+                    cfg, model, state, sample)
+            except Exception as e:
+                details["config5_wavernn_pipeline"] = {"error": str(e)}
+                log(f"config5 bench failed: {e}")
     if args.scaling:
         details["weak_scaling_fake_cpu_mesh"] = bench_scaling()
         details["scaling_note"] = (
