@@ -427,8 +427,18 @@ def main():
     def make_stft_loop(form, n):
         @jax.jit
         def f(acc, w):
+            # The data-dependence perturbation must be NON-HOISTABLE: the
+            # DFT conv is LINEAR in the waveform, so a scalar-additive
+            # `w + a*eps` lets XLA distribute conv(w + a*1) = conv(w) +
+            # a*conv(1) and hoist the loop-invariant conv(w) OUT of the
+            # marginal loop — the conv_xla row then measures only the
+            # nonlinear tail (observed: a physically impossible 152%-of-SOL
+            # reading). An elementwise, iteration-varying modulation defeats
+            # the rewrite; its own cost is one fused multiply (~bytes/BW).
+            ramp = jnp.arange(w.shape[-1], dtype=jnp.float32)
             def body(i, a):
-                wi = w + a * 1e-12
+                # per-iteration elementwise modulation (depends on carry a)
+                wi = w * (1.0 + 1e-12 * jnp.cos(a + ramp))
                 if form == "conv_xla":
                     mel, lin = jdsp.features_precentered(wi)
                 else:
@@ -546,8 +556,13 @@ def main():
         def f(acc, rflat, mel_in):
             v = rpfp.unpack(rflat)
 
+            ramp = jnp.arange(mel_in.shape[-1], dtype=jnp.float32)
+
             def body(i, a):
-                x = mel_in + a * 1e-12
+                # non-hoistable elementwise modulation: the first conv layer
+                # is linear, so a scalar-additive perturbation would let XLA
+                # hoist it out of the loop (see the stft marginal comment)
+                x = mel_in * (1.0 + 1e-12 * jnp.cos(a + ramp))
                 if form == "flax":
                     emb = refenc.apply(
                         {"params": v["params"],
@@ -582,10 +597,16 @@ def main():
         def f(acc, rflat, mel_in):
             v = rpfp.unpack(rflat)
 
+            ramp = jnp.arange(mel_in.shape[-1], dtype=jnp.float32)
+
             def body(i, a):
+                # same non-hoistable modulation as the f32 refenc loop
+                # (pallas_call is opaque to XLA, but keep the loop bodies
+                # identical so the rows stay comparable)
+                x = mel_in * (1.0 + 1e-12 * jnp.cos(a + ramp))
                 emb = ref_encoder_pallas(
                     v["params"], v["batch_stats"], cfg.model.gst,
-                    mel_in + a * 1e-12, batched=True, bf16=True)
+                    x, batched=True, bf16=True)
                 return a + jnp.sum(emb) * 1e-9
 
             return acc * 1e-9 + jax.lax.fori_loop(0, n, body,
