@@ -978,6 +978,20 @@ def main():
                         "(prints one JSON line; exclusive mode)")
     args = p.parse_args()
 
+    # ADVICE r4: validate --batch before any device work. The batch-tiled
+    # Pallas decode pipeline launches the proven B=8 Mosaic kernel in 8-row
+    # tiles, so B>8 must be a multiple of 8; anything else falls back to the
+    # monolithic XLA program instead of dying mid-run on an AssertionError.
+    if args.batch is not None:
+        if args.batch < 1:
+            p.error(f"--batch {args.batch}: must be >= 1")
+        if args.batch > 8 and args.batch % 8 != 0 \
+                and not args.no_pallas_pipeline:
+            log(f"--batch {args.batch} is not a multiple of 8; the tiled "
+                "Pallas decode pipeline needs 8-row tiles — benching the "
+                "monolithic XLA program only")
+            args.no_pallas_pipeline = True
+
     if args.scaling_child:
         bench_scaling_child(args.scaling_child)
         return

@@ -319,6 +319,15 @@ def generate_patterns(
     wav_only: bool = False,
 ) -> dict:
     os.makedirs(out_dir, exist_ok=True)
+    if wav_only and device_features:
+        # ADVICE r4: the device-features branch always writes full
+        # mel/linear features, so combining the flags would silently produce
+        # shards 15x larger than requested with no wav_only metadata.
+        raise ValueError(
+            "wav_only and device_features are mutually exclusive: wav-only "
+            "shards skip feature extraction entirely (features are computed "
+            "on-device at train time), so there is nothing for the device "
+            "extractor to do")
     utts = list(utts)
     entries = []
     if device_features:

@@ -428,11 +428,17 @@ def ref_encoder_pallas(
     params: Dict, batch_stats: Dict, gst_cfg, ref_mel: jnp.ndarray,
     mel_lengths: Optional[jnp.ndarray] = None, *, interpret: bool = False,
     use_pallas_gru: bool = True, batched: Optional[bool] = None,
-    bf16: bool = False,
+    bf16: Optional[bool] = None,
 ) -> jnp.ndarray:
     """ReferenceEncoder forward from raw variables (inference): fused conv
     stack kernel + GRU -> (B, ref_gru_dim) reference embedding. Numerics
-    mirror models/gst.py::ReferenceEncoder (cited there; SURVEY.md §2.1)."""
+    mirror models/gst.py::ReferenceEncoder (cited there; SURVEY.md §2.1).
+
+    bf16=None (auto) enables bf16 phase-matrix operands for the batched
+    kernel on TPU (VERDICT r4 #3: measured 131 us vs 224 us f32 at
+    (8, 256, 80), KERNEL_BENCH_r04 ref_encoder_marginal_us; ~1e-2 relative
+    activation error through the downstream 128-dim GRU + softmax style
+    attention — on-chip parity gate in tpu_tests/test_kernels_tpu.py)."""
     n_layers = len(gst_cfg.ref_conv_channels)
     if mel_lengths is not None:
         tmask = (jnp.arange(ref_mel.shape[1])[None, :]
@@ -451,6 +457,8 @@ def ref_encoder_pallas(
                 ref_mel.shape[0], ref_mel.shape[1], ref_mel.shape[2],
                 list(gst_cfg.ref_conv_channels))
         )
+    if bf16 is None:
+        bf16 = jax.default_backend() not in ("cpu",)
     if batched:
         # whole-batch 3-matmul-per-layer form (see KERNEL_BENCH refenc rows
         # for the measured on-chip advantage over the per-element grid form)

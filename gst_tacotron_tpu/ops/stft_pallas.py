@@ -370,6 +370,150 @@ def stft_features_pallas_fused(
     )
 
 
+def _stft_resident_kernel(chunks_hbm, cos_ref, sin_ref, mel_ref,
+                          lin_out_ref, mel_out_ref,
+                          chunk_scr, frames_scr, dma_sem,
+                          *, j0, j1, norm, normalize_linear):
+    """Whole-frequency STFT tile with VMEM-RESIDENT bases (r5).
+
+    The r4 fused kernel re-fetched a (n_live, TILE_K) cos and sin block from
+    HBM on EVERY grid step (freq innermost, block index (0, j) changes each
+    step): at production dims that is ~1 MB/step x 288 steps = ~290 MB of
+    basis traffic — 350 us at HBM peak, which matched the measured 346 us
+    marginal almost exactly (KERNEL_BENCH_r04 stft_marginal_us). Here the
+    bases are single blocks with a CONSTANT index map, so Pallas fetches
+    them once and they stay resident in VMEM (~4.7 MB in bf16, ~9.4 MB f32);
+    the freq dimension is processed whole per frame tile, which also deletes
+    the mel accumulator and the @pl.when epilogue."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    tile_f = frames_scr.shape[0]
+    hop = frames_scr.shape[1] // (j1 - j0)
+    dma = pltpu.make_async_copy(
+        chunks_hbm.at[b, pl.ds(i * tile_f, chunk_scr.shape[0]), :],
+        chunk_scr, dma_sem,
+    )
+    dma.start()
+    dma.wait()
+    for jj in range(j0, j1):
+        frames_scr[:, (jj - j0) * hop : (jj - j0 + 1) * hop] = (
+            chunk_scr[jj : jj + tile_f, :]
+        )
+    frames = frames_scr[...].astype(cos_ref.dtype)
+    real = jnp.dot(frames, cos_ref[...], preferred_element_type=jnp.float32)
+    imag = jnp.dot(frames, sin_ref[...], preferred_element_type=jnp.float32)
+    mag = jnp.sqrt(real * real + imag * imag)
+
+    if normalize_linear:
+        lin_out_ref[0] = _db_normalize(mag, norm)
+    else:
+        lin_out_ref[0] = mag
+
+    melv = jnp.dot(mag.astype(mel_ref.dtype), mel_ref[...],
+                   preferred_element_type=jnp.float32)
+    mel_out_ref[0] = _db_normalize(melv, norm)
+
+
+def stft_features_pallas_resident(
+    wav: jnp.ndarray,
+    cfg: AudioConfig,
+    *,
+    normalize_linear: bool = True,
+    interpret: bool = False,
+    bf16: bool = False,
+    tile_f: int = TILE_F,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(B, L) preemphasized + reflect-center-padded wav -> (mel, linear).
+
+    Same contract and math as stft_features_pallas_fused, but the DFT/mel
+    bases are VMEM-resident across the whole launch (see
+    _stft_resident_kernel) and each grid step processes the FULL frequency
+    axis of one (tile_f)-frame tile.
+
+    bf16: feed the MXU bfloat16 operands with float32 accumulation — the
+    same precision class as XLA's DEFAULT matmul precision on TPU (the
+    conv-XLA production path's implicit setting), 4x the f32 MXU rate on
+    v5e, and half the resident-basis VMEM footprint.
+    """
+    cfg_hop, n_fft = cfg.hop_length, cfg.n_fft
+    assert n_fft % cfg_hop == 0, "hop must divide n_fft"
+    k = n_fft // cfg_hop
+    b, total = wav.shape
+    num_frames = 1 + (total - n_fft) // cfg_hop
+
+    cos_b, sin_b, mel_b, n_freq_pad = _bases(cfg)
+    j0, j1, n_live = live_tap_span(cfg)
+    cos_b = cos_b[j0 * cfg_hop: j1 * cfg_hop]
+    sin_b = sin_b[j0 * cfg_hop: j1 * cfg_hop]
+    t_pad = _round_up(max(num_frames, tile_f), tile_f)
+    k8 = _round_up(k - 1, 8)
+    need = (t_pad + k8) * cfg_hop
+    if need > total:
+        wav = jnp.pad(wav, ((0, 0), (0, need - total)))
+    chunks = wav[:, :need].reshape(b, t_pad + k8, cfg_hop)
+
+    n_mels_pad = mel_b.shape[1]
+    grid = (b, t_pad // tile_f)
+
+    kernel = functools.partial(
+        _stft_resident_kernel,
+        j0=j0,
+        j1=j1,
+        norm=_norm_consts(cfg),
+        normalize_linear=normalize_linear,
+    )
+
+    base_dt = jnp.bfloat16 if bf16 else jnp.float32
+    lin, mel = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # chunks stay in HBM
+            # constant index maps -> fetched once, resident for the launch
+            pl.BlockSpec((n_live, n_freq_pad), lambda b_, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_live, n_freq_pad), lambda b_, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_freq_pad, n_mels_pad), lambda b_, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile_f, n_freq_pad), lambda b_, i: (b_, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_f, n_mels_pad), lambda b_, i: (b_, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, t_pad, n_freq_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, t_pad, n_mels_pad), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tile_f + k8, cfg_hop), jnp.float32),
+            pltpu.VMEM((tile_f, n_live), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * t_pad * n_live * n_freq_pad * 2
+            + 2 * b * t_pad * n_freq_pad * n_mels_pad,
+            bytes_accessed=4 * (
+                b * t_pad * cfg_hop
+                + b * t_pad * (n_freq_pad + n_mels_pad)
+            ) + (2 if bf16 else 4) * (2 * n_live + n_mels_pad) * n_freq_pad,
+            transcendentals=b * t_pad * (n_freq_pad + n_mels_pad),
+        ),
+        interpret=interpret,
+    )(chunks, jnp.asarray(cos_b, base_dt), jnp.asarray(sin_b, base_dt),
+      jnp.asarray(mel_b, base_dt))
+
+    return (
+        mel[:, :num_frames, : cfg.num_mels],
+        lin[:, :num_frames, : cfg.num_freq],
+    )
+
+
 class PallasDSP:
     """Drop-in feature extractor using the fused kernel (TPU path).
 

@@ -371,6 +371,19 @@ class Trainer:
             if not cfg.data.wav_transport:
                 raise ValueError("data.device_corpus requires "
                                  "data.wav_transport=true")
+            if jax.process_count() > 1:
+                # ADVICE r4: the per-step row-index vector is a host-local
+                # jnp array with DIFFERENT values per rank; binding it to a
+                # cross-process P("data") sharding would make JAX assume the
+                # ranks hold identical values and silently assemble a wrong
+                # global batch (and the plain device_put below is likewise
+                # process-local). Building the global index via
+                # make_array_from_process_local_data is possible but has
+                # never been executed; refuse rather than mistrain.
+                raise ValueError(
+                    "data.device_corpus is single-process only; use the f16 "
+                    "wav-transport wire (data.wav_transport) for "
+                    "multi-process runs")
             corpora = self.loader.build_wav_corpus()
             gb = sum(w.nbytes + i.nbytes for w, i in corpora.values()) / 1e9
             if gb > cfg.data.device_corpus_max_gb:

@@ -70,6 +70,49 @@ def test_stft_fused_framing_odd_frame_count():
     np.testing.assert_allclose(np.asarray(lin_k), np.asarray(lin_ref), atol=5e-3)
 
 
+def test_stft_resident_bases_matches_jnp_features_precentered():
+    """The r5 resident-bases kernel (VMEM-held DFT/mel bases, whole-freq
+    tiles) must match the conv-fused jnp path on the same contract."""
+    from gst_tacotron_tpu.ops.stft_pallas import stft_features_pallas_resident
+
+    cfg = SMALL
+    wav = make_wav()
+    jdsp = JaxDSP(cfg)
+    pad = cfg.n_fft // 2
+    prepped = jnp.pad(jdsp.preemphasis(wav), ((0, 0), (pad, pad)),
+                      mode="reflect")
+    mel_ref, lin_ref = jdsp.features_precentered(prepped)
+    mel_k, lin_k = stft_features_pallas_resident(prepped, cfg, interpret=True)
+    assert mel_k.shape == mel_ref.shape and lin_k.shape == lin_ref.shape
+    np.testing.assert_allclose(np.asarray(mel_k), np.asarray(mel_ref), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(lin_k), np.asarray(lin_ref), atol=5e-3)
+
+
+def test_stft_resident_bases_odd_frames_and_bf16():
+    from gst_tacotron_tpu.ops.stft_pallas import stft_features_pallas_resident
+
+    cfg = SMALL
+    jdsp = JaxDSP(cfg)
+    wav = make_wav(n=3000, batch=3)
+    pad = cfg.n_fft // 2
+    prepped = jnp.pad(jdsp.preemphasis(wav), ((0, 0), (pad, pad)),
+                      mode="reflect")
+    mel_ref, lin_ref = jdsp.features_precentered(prepped)
+    mel_k, lin_k = stft_features_pallas_resident(prepped, cfg, interpret=True)
+    assert mel_k.shape == mel_ref.shape
+    np.testing.assert_allclose(np.asarray(mel_k), np.asarray(mel_ref), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(lin_k), np.asarray(lin_ref), atol=5e-3)
+    # bf16 operand mode: serving-precision class (quiet bins see dB-scale
+    # error; loud bins stay close) — assert shape + loud-region agreement
+    mel_b, lin_b = stft_features_pallas_resident(
+        prepped, cfg, interpret=True, bf16=True)
+    assert mel_b.shape == mel_ref.shape
+    loud = np.asarray(mel_ref) > 0.5
+    if loud.any():
+        err = np.abs(np.asarray(mel_b) - np.asarray(mel_ref))[loud]
+        assert err.max() < 0.05
+
+
 def test_stft_kernel_frame_padding():
     """Frame counts that don't divide the tile must round-trip unchanged."""
     cfg = SMALL
