@@ -44,6 +44,11 @@ class Utterance:
     wav_path: Optional[str]  # None for synthetic
     speaker: str
     speaker_id: int
+    # synthetic wavs only: random per-token durations + inserted pauses, so
+    # the token->time map is NOT constant-slope and alignment diagonality
+    # can fall below 1.0 (VERDICT r4 #8: the fixed-0.08s corpus saturated
+    # eval/diagonality at 1.0, making the metric unable to fail)
+    nonlinear_durations: bool = False
 
 
 # ---------------------------------------------------------------------------
@@ -130,13 +135,17 @@ _SYNTH_WORDS = (
 
 
 def synthetic_utterances(n: int, num_speakers: int = 1,
-                         variable: bool = False) -> List[Utterance]:
+                         variable: bool = False,
+                         nonlinear_durations: bool = False) -> List[Utterance]:
     """Deterministic synthetic corpus. `variable=False` keeps the legacy
     16-sentence cycle (small smoke corpora, byte-stable with old fixtures).
     `variable=True` composes unique word sequences with genuinely varied
     lengths (~12-170 chars, near-uniform over that range) so a large corpus
     occupies every length bucket — the scale-realistic mode (VERDICT r3
-    item 3: trained evidence must not be 16 memorized sentences)."""
+    item 3: trained evidence must not be 16 memorized sentences).
+    `nonlinear_durations=True` additionally randomizes per-token segment
+    lengths and inserts pauses (see synthesize_wav), restoring
+    discriminative power to the alignment-diagonality metric."""
     utts = []
     for i in range(n):
         spk = i % num_speakers
@@ -152,7 +161,8 @@ def synthetic_utterances(n: int, num_speakers: int = 1,
             text = " ".join(words) + "."
         else:
             text = _SYNTH_SENTENCES[i % len(_SYNTH_SENTENCES)]
-        utts.append(Utterance(f"synth_{i:05d}", text, None, f"S{spk}", spk))
+        utts.append(Utterance(f"synth_{i:05d}", text, None, f"S{spk}", spk,
+                              nonlinear_durations=nonlinear_durations))
     return utts
 
 
@@ -164,11 +174,27 @@ def synthesize_wav(utt: Utterance, audio: AudioConfig) -> np.ndarray:
     signal for attention to have something to align to in smoke training.
     """
     tokens = text_to_ids(utt.text)
-    seg = int(0.08 * audio.sample_rate)
-    rng = np.random.default_rng(abs(hash(utt.utt_id)) % (2 ** 32))
+    base_seg = int(0.08 * audio.sample_rate)
+    # stable per-utterance seed from the id bytes (hash() is salted per
+    # process, which would desync wavs across pattern workers / hosts)
+    seed = np.frombuffer(
+        utt.utt_id.encode("utf-8").ljust(8, b"\0")[:8], np.uint64)[0]
+    rng = np.random.default_rng((0x5EED, int(seed)))
+    drng = np.random.default_rng((0xD07A, int(seed)))
     pieces = []
     phase = 0.0
     for tok in tokens:
+        if utt.nonlinear_durations:
+            # log-uniform per-token duration in [0.03, 0.19] s — a ~6x
+            # spread, so the token->frame slope varies word to word
+            seg = int(base_seg * np.exp(drng.uniform(-0.98, 0.86)))
+            if drng.random() < 0.06:
+                # inserted pause: silence the aligner must skip over
+                pieces.append(np.zeros(
+                    int(audio.sample_rate * drng.uniform(0.05, 0.25)),
+                    np.float64))
+        else:
+            seg = base_seg
         f0 = 90.0 + 12.0 * (tok % 23) + 25.0 * utt.speaker_id
         t = np.arange(seg) / audio.sample_rate
         sig = np.zeros(seg)
@@ -393,6 +419,11 @@ def main(argv: Optional[List[str]] = None) -> None:
                    help="synthetic corpus: unique word-sequence sentences "
                         "with ~12-170 char lengths (occupies all buckets) "
                         "instead of the 16-sentence cycle")
+    p.add_argument("--nonlinear-durations", action="store_true",
+                   help="synthetic corpus: random per-token durations "
+                        "(log-uniform ~6x spread) + inserted pauses, so "
+                        "token->time is not constant-slope and alignment "
+                        "diagonality < 1.0 is achievable/meaningful")
     args = p.parse_args(argv)
 
     cfg: Config = load_config(args.config) if args.config else get_preset("taco1_lj")
@@ -402,7 +433,8 @@ def main(argv: Optional[List[str]] = None) -> None:
         utts = walk_vctk(args.path)
     else:
         utts = synthetic_utterances(args.num_utterances, args.num_speakers,
-                                    variable=args.variable_lengths)
+                                    variable=args.variable_lengths,
+                                    nonlinear_durations=args.nonlinear_durations)
     meta = generate_patterns(utts, cfg.audio, args.out, num_workers=args.workers,
                              max_text_len=cfg.data.max_text_len,
                              max_mel_frames=cfg.data.max_mel_frames,

@@ -39,25 +39,31 @@ class DeviceFeatureExtractor:
     def __init__(self, cfg: AudioConfig, use_pallas=None,
                  interpret: bool = False, batch_size: int = 8,
                  frame_bucket: int = 128):
-        """use_pallas: None (auto) routes to the framing-fused Pallas kernel
-        on TPU and the conv-fused jnp path on CPU; "fused" forces the
-        framing-fused kernel; True forces the legacy frame-then-kernel
-        pipeline (r2 measurement: it LOST to the conv path because the
-        (B*T, n_fft) frames intermediate round-trips HBM); False forces the
-        conv-fused jnp path.
+        """use_pallas: None (auto) routes to the RESIDENT-BASES Pallas
+        kernel on TPU and the conv-fused jnp path on CPU. Explicit values:
+        "resident" — r5 kernel (VMEM-resident DFT/mel bases, whole-freq
+        tiles); "fused" — r4 freq-tiled kernel (kept for comparison; its
+        per-step basis re-fetch costs ~2.2x); True — legacy
+        frame-then-kernel pipeline (r2: loses to conv, HBM frames
+        intermediate); False — conv-fused XLA path.
 
-        Round-3 on-chip measurement (KERNEL_BENCH_r03.json stft_paths_ms,
-        (8, 512-frame) batch): fused-framing kernel 2.74-2.88 ms vs
-        conv-fused XLA 2.68-3.35 ms across runs — the kernel edges the conv
-        path once framing happens inside it (VERDICT r2 #2a), identical
-        output to 1.2e-7."""
+        Round-5 on-chip marginals ((8, 512-frame) batch, interleaved
+        median-of-10-cycles, non-separable-modulation full-output checksum
+        — KERNEL_BENCH_r05 stft_marginal_us; the r3/r4 marginals were
+        checksum-DCE artifacts in XLA's favor, see CLAUDE.md #21):
+        resident kernel 101.6-107.7 us vs conv-fused XLA 108.5 us
+        (IQR ~±15 us: statistically tied, kernel median ahead) vs r4 fused
+        kernel 228 us. Outputs identical to 1.2e-7 on chip; on TPU both
+        kernel and XLA compute bf16-operand/f32-accumulate (the platform
+        default precision — measured identical 0.373 quiet-bin dB error vs
+        the CPU-f32 oracle for BOTH paths)."""
         self.cfg = cfg
         self.batch_size = batch_size
         self.frame_bucket = frame_bucket
         self.interpret = interpret
         if use_pallas is None:
             use_pallas = (
-                "fused" if jax.default_backend() not in ("cpu",) else False
+                "resident" if jax.default_backend() not in ("cpu",) else False
             )
         self.use_pallas = use_pallas
         self._jdsp = JaxDSP(cfg)
@@ -68,6 +74,15 @@ class DeviceFeatureExtractor:
     def _compute(self, prepped: jnp.ndarray
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """(B, L) preemphasized+center-padded+zero-bucketed -> (mel, linear)."""
+        if self.use_pallas == "resident":
+            from ..ops.stft_pallas import stft_features_pallas_resident
+
+            # bf16 operands = the TPU platform's default matmul precision
+            # (identical class to the XLA conv path); f32 in interpret mode
+            # so CPU parity tests stay exact
+            return stft_features_pallas_resident(
+                prepped, self.cfg, interpret=self.interpret,
+                bf16=not self.interpret)
         if self.use_pallas == "fused":
             from ..ops.stft_pallas import stft_features_pallas_fused
 

@@ -40,7 +40,8 @@ class Synthesizer:
     def __init__(self, cfg: Config, model: GSTTacotron, variables: Dict,
                  text_pad_multiple: int = 32, use_pallas_decoder: bool = False,
                  use_chunked_decoder: bool = False, chunk_steps: int = 64,
-                 vocoder=None, use_pallas_refenc: Optional[bool] = None):
+                 vocoder=None, use_pallas_refenc: Optional[bool] = None,
+                 deterministic_prenet: bool = False):
         """Decoder modes (mutually exclusive; default = fixed-length scan):
 
         use_pallas_decoder: route the AR decode through the fused
@@ -60,8 +61,17 @@ class Synthesizer:
         vocoder: a vocoder.make_vocoder object. None or GriffinLimVocoder
         keeps Griffin-Lim fused INSIDE the inference program (fastest path);
         a WaveRNNVocoder runs as its own jitted program on the decoded mel
-        (config 5, SURVEY.md §7 stage 9)."""
+        (config 5, SURVEY.md §7 stage 9).
+
+        deterministic_prenet: disable the decoder prenet's always-on
+        dropout at inference (the Tacotron trait) — synthesis becomes a
+        deterministic function of (text, style condition), which is what
+        style-contrast measurement needs (VERDICT r4 #7: the seed-noise
+        floor otherwise contaminates every pairwise metric). Scan and
+        chunked decoders only; the Pallas decode kernel keeps its on-core
+        PRNG dropout."""
         self.cfg = cfg
+        self.deterministic_prenet = deterministic_prenet
         self.vocoder = vocoder
         # inline GL inside the jit unless an external (neural) vocoder is set
         self._inline_gl = (
@@ -215,6 +225,7 @@ class Synthesizer:
         out = chunked_decode(
             self.model, variables, memory, token_lengths, rng,
             chunk_steps=self.chunk_steps, max_steps=max_steps,
+            deterministic_prenet=self.deterministic_prenet,
         )
         linear = self.model.apply(
             variables, out["mel"], out["frame_lengths"], train=False,
@@ -244,6 +255,7 @@ class Synthesizer:
             speaker_ids=speaker_ids, token_weights=token_weights,
             method=self.model.infer, rngs={"dropout": rng},
             max_steps=max_steps, precomputed_style=style,
+            deterministic_prenet=self.deterministic_prenet,
         )
         if style_attn is not None:
             out["style_attention"] = style_attn

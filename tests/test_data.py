@@ -269,3 +269,29 @@ def test_vocoder_loader_wav_only(tmp_path):
     assert batch["mel"].shape == (2, 8, FAST_AUDIO.num_mels)
     assert batch["wav"].shape == (2, 8 * FAST_AUDIO.hop_length)
     assert np.isfinite(batch["mel"].astype(np.float32)).all()
+
+
+def test_synthetic_nonlinear_durations():
+    """VERDICT r4 #8: the nonlinear-durations corpus must (a) be
+    deterministic, (b) produce genuinely non-constant token->time slopes."""
+    import numpy as np
+
+    from gst_tacotron_tpu.config import get_preset
+    from gst_tacotron_tpu.data.pattern import (
+        synthesize_wav, synthetic_utterances,
+    )
+
+    cfg = get_preset("taco1_lj").audio
+    lin = synthetic_utterances(2, variable=True)
+    non = synthetic_utterances(2, variable=True, nonlinear_durations=True)
+    for a, b in zip(lin, non):
+        wa, wb = synthesize_wav(a, cfg), synthesize_wav(b, cfg)
+        assert not np.array_equal(wa, wb)
+        # deterministic across calls
+        assert np.array_equal(wb, synthesize_wav(b, cfg))
+    # per-token durations vary: two same-text utterances with the flag give
+    # different lengths than the fixed-0.08s mapping predicts
+    tok_est = len(non[0].text) + 1
+    fixed_len = tok_est * int(0.08 * cfg.sample_rate)
+    got = len(synthesize_wav(non[0], cfg))
+    assert abs(got - fixed_len) > 0.02 * fixed_len

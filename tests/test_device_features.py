@@ -16,7 +16,7 @@ def _wavs(rng, lengths):
     return [rng.uniform(-0.5, 0.5, n).astype(np.float32) for n in lengths]
 
 
-@pytest.mark.parametrize("use_pallas", [False, True, "fused"])
+@pytest.mark.parametrize("use_pallas", [False, True, "fused", "resident"])
 def test_batched_extraction_matches_oracle(rng, use_pallas):
     """Every frame — including the reflect-padded tail — matches the
     per-utterance numpy oracle, across uneven lengths in one batch."""

@@ -390,20 +390,23 @@ def main():
     dt_old = timed(stft_frame_then_kernel, (prepped,), iters=10,
                    name=f"stft frame-then-kernel ({bb}x{t_frames}f)")
 
+    from gst_tacotron_tpu.ops.stft_pallas import (
+        stft_features_pallas_resident,
+    )
+
     @jax.jit
-    def stft_fused_bf16(acc, w):
-        mel, lin = stft_features_pallas_fused(w, cfg.audio, bf16_bases=True)
+    def stft_resident(acc, w):
+        mel, lin = stft_features_pallas_resident(w, cfg.audio, bf16=True)
         return acc * 1e-9 + jnp.sum(mel[:, :, 0]) + jnp.sum(lin[:, ::31, 0])
 
-    dt_fused_bf16 = timed(stft_fused_bf16, (prepped,), iters=10,
-                          name=f"stft fused bf16 bases ({bb}x{t_frames}f)")
+    dt_resident = timed(stft_resident, (prepped,), iters=10,
+                        name=f"stft resident-bases pallas ({bb}x{t_frames}f)")
     report["stft_paths_ms"] = {
         "conv_fused_xla": dt_conv * 1e3,
         "pallas_fused_framing": dt_fused * 1e3,
-        "pallas_fused_framing_bf16": dt_fused_bf16 * 1e3,
+        "pallas_resident_bases_bf16": dt_resident * 1e3,
         "pallas_frame_then_kernel": dt_old * 1e3,
-        "fused_vs_conv_speedup": dt_conv / dt_fused,
-        "fused_bf16_vs_conv_speedup": dt_conv / dt_fused_bf16,
+        "resident_vs_conv_speedup": dt_conv / dt_resident,
     }
     n_freq_pad = ((cfg.audio.num_freq + 127) // 128) * 128
     t_pad_f = ((t_frames + 127) // 128) * 128
@@ -422,55 +425,83 @@ def main():
         roofline("pallas_stft_fused_framing", fflops, fbytes, dt_fused,
                  peaks))
 
-    # in-program marginals (per-call walls include the ~1.4 ms dispatch
-    # floor; see the ref-encoder marginal note below)
-    def make_stft_loop(form, n):
+    # In-program marginals, r5 methodology (per-call walls include the
+    # ~1.4 ms dispatch floor; see the ref-encoder marginal note below).
+    # THREE hard-won harness rules (CLAUDE.md #21, tools/stft_probe*_r5.py):
+    #  1. The checksum must consume EVERY output element (full sums). A
+    #     sliced checksum (mel[:,:,0], lin[:,::31,0]) lets XLA propagate the
+    #     slice into the conv weights and dead-code-eliminate ~99% of the
+    #     XLA form's channels; Pallas forms are opaque and compute
+    #     everything — the r4 "conv 119.8 us / 87% SOL" row was this.
+    #  2. The carry-dependent modulation must be NON-SEPARABLE:
+    #     cos(a + ramp) = cos a cos ramp - sin a sin ramp is rank-2, and the
+    #     DFT is linear, so XLA hoists conv(w*cos ramp), conv(w*sin ramp)
+    #     out of the loop (observed: 57 us "conv" = 360 nominal TF, above
+    #     the 197 TF chip peak). cos((1+a)*ramp) has no finite separable
+    #     decomposition.
+    #  3. Session drift (~±20%) swamps single-row x-hi-minus-x-lo deltas
+    #     measured minutes apart: interleave all forms round-robin, compute
+    #     per-cycle marginals, report the median (+IQR).
+    stft_marg_forms = {
+        "conv_xla": lambda w: jdsp.features_precentered(w),
+        "fused": lambda w: stft_features_pallas_fused(w, cfg.audio),
+        "resident_f32": lambda w: stft_features_pallas_resident(w, cfg.audio),
+        "resident_bf16": lambda w: stft_features_pallas_resident(
+            w, cfg.audio, bf16=True),
+    }
+
+    def make_stft_loop(fn, n):
         @jax.jit
         def f(acc, w):
-            # The data-dependence perturbation must be NON-HOISTABLE: the
-            # DFT conv is LINEAR in the waveform, so a scalar-additive
-            # `w + a*eps` lets XLA distribute conv(w + a*1) = conv(w) +
-            # a*conv(1) and hoist the loop-invariant conv(w) OUT of the
-            # marginal loop — the conv_xla row then measures only the
-            # nonlinear tail (observed: a physically impossible 152%-of-SOL
-            # reading). An elementwise, iteration-varying modulation defeats
-            # the rewrite; its own cost is one fused multiply (~bytes/BW).
-            ramp = jnp.arange(w.shape[-1], dtype=jnp.float32)
+            ramp = jnp.arange(w.shape[-1], dtype=jnp.float32) \
+                * (1.0 / w.shape[-1])
+
             def body(i, a):
-                # per-iteration elementwise modulation (depends on carry a)
-                wi = w * (1.0 + 1e-12 * jnp.cos(a + ramp))
-                if form == "conv_xla":
-                    mel, lin = jdsp.features_precentered(wi)
-                else:
-                    mel, lin = stft_features_pallas_fused(wi, cfg.audio)
-                return a + (jnp.sum(mel[:, :, 0])
-                            + jnp.sum(lin[:, ::31, 0])) * 1e-9
+                wi = w * (1.0 + 1e-12 * jnp.cos((1.0 + a) * ramp))
+                mel, lin = fn(wi)
+                return a + (jnp.sum(mel) + jnp.sum(lin)) * 1e-9
             return acc * 1e-9 + jax.lax.fori_loop(0, n, body,
                                                   jnp.float32(0.0))
         return f
 
+    import statistics as _stats
+
+    N_LO, N_HI, CYCLES = 4, 34, 8
+    stft_loops = {k: (make_stft_loop(fn, N_LO), make_stft_loop(fn, N_HI))
+                  for k, fn in stft_marg_forms.items()}
+    stft_margs = {k: [] for k in stft_marg_forms}
+    for _cyc in range(CYCLES):
+        for k, (flo, fhi) in stft_loops.items():
+            t_lo = timed(flo, (prepped,), iters=6, name=f"stft {k} lo")
+            t_hi = timed(fhi, (prepped,), iters=6, name=f"stft {k} hi")
+            stft_margs[k].append((t_hi - t_lo) / (N_HI - N_LO))
     report["stft_marginal_us"] = {}
-    for form in ("conv_xla", "fused"):
-        t_lo = timed(make_stft_loop(form, 2), (prepped,), iters=10,
-                     name=f"stft {form} x2 in-program")
-        t_hi = timed(make_stft_loop(form, 10), (prepped,), iters=10,
-                     name=f"stft {form} x10 in-program")
-        marg = (t_hi - t_lo) / 8
-        report["stft_marginal_us"][form] = marg * 1e6
-        log(f"stft {form} marginal: {marg*1e6:.1f} us/call")
+    report["stft_marginal_iqr_us"] = {}
+    for k, ms in stft_margs.items():
+        marg = _stats.median(ms)
+        q = _stats.quantiles(ms, n=4)
+        report["stft_marginal_us"][k] = marg * 1e6
+        report["stft_marginal_iqr_us"][k] = [q[0] * 1e6, q[2] * 1e6]
+        log(f"stft {k} marginal: {marg*1e6:.1f} us/call "
+            f"IQR [{q[0]*1e6:.1f}, {q[2]*1e6:.1f}]")
         report["roofline"].append(
-            roofline(f"stft_{form}_marginal", fflops, fbytes, marg, peaks))
+            roofline(f"stft_{k}_marginal", fflops, fbytes, marg, peaks))
 
     @jax.jit
     def stft_parity(w):
         mel_a, lin_a = jdsp.features_precentered(w)
         mel_b, lin_b = stft_features_pallas_fused(w, cfg.audio)
-        return jnp.maximum(jnp.max(jnp.abs(mel_a - mel_b)),
-                           jnp.max(jnp.abs(lin_a - lin_b)))
+        mel_c, lin_c = stft_features_pallas_resident(w, cfg.audio, bf16=True)
+        e1 = jnp.maximum(jnp.max(jnp.abs(mel_a - mel_b)),
+                         jnp.max(jnp.abs(lin_a - lin_b)))
+        e2 = jnp.maximum(jnp.max(jnp.abs(mel_a - mel_c)),
+                         jnp.max(jnp.abs(lin_a - lin_c)))
+        return e1, e2
 
-    report["stft_fused_parity_max_err"] = float(
-        np.asarray(stft_parity(prepped)))
-    log("stft fused parity max err:", report["stft_fused_parity_max_err"])
+    e_fused, e_res = (float(np.asarray(x)) for x in stft_parity(prepped))
+    report["stft_fused_parity_max_err"] = e_fused
+    report["stft_resident_bf16_parity_max_err"] = e_res
+    log("stft parity max err: fused", e_fused, "resident_bf16", e_res)
 
     # ---- reference-encoder conv stack -------------------------------------
     refenc = ReferenceEncoder(cfg.model.gst, cfg.model.num_mels)
