@@ -6,11 +6,19 @@ from .mesh import (
     data_sharding,
     initialize_distributed,
     make_mesh,
+    place_tree,
+    process_data_shard,
     replicate_tree,
     replicated,
     shard_batch,
 )
-from .sharding import describe_sharding, param_shardings, shard_params
+from .sharding import (
+    describe_sharding,
+    param_shardings,
+    place_state,
+    shard_params,
+    state_shardings,
+)
 from .distributed_synthesis import DistributedSynthesizer
 
 __all__ = [
@@ -23,7 +31,11 @@ __all__ = [
     "shard_batch",
     "initialize_distributed",
     "param_shardings",
+    "place_state",
+    "place_tree",
+    "process_data_shard",
     "shard_params",
+    "state_shardings",
     "describe_sharding",
     "DistributedSynthesizer",
 ]

@@ -58,6 +58,38 @@ def data_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def process_data_shard(mesh: Mesh) -> tuple:
+    """(shard_index, num_shards) of the GLOBAL batch this process must load.
+
+    With pure DP (model axis inside each process) every process owns a
+    distinct contiguous data-row range -> classic per-process loader shards.
+    When the model axis spans processes (cross-process tensor parallelism,
+    e.g. a (data=1, model=2) mesh over 2 single-device processes) several
+    processes cover the SAME data rows: the batch is replicated over `model`,
+    so those processes must load IDENTICAL batch slices and share one shard
+    index — `jax.process_count()` would silently halve the batch each rank
+    binds to the cross-process sharding (the ADVICE-r4 device-corpus bug
+    class, fixed here for the wire path).
+    """
+    if jax.process_count() <= 1:
+        return 0, 1
+    arr = mesh.devices  # (data, model)
+    rows_by_proc: dict = {}
+    for i in range(arr.shape[0]):
+        for d in arr[i].ravel():
+            rows_by_proc.setdefault(d.process_index, set()).add(i)
+    groups = sorted({tuple(sorted(v)) for v in rows_by_proc.values()})
+    for g in groups:
+        if g[-1] - g[0] + 1 != len(g):
+            raise ValueError(
+                f"process data-rows not contiguous: {groups}; the loader "
+                "yields contiguous global-batch slices")
+    if len({len(g) for g in groups}) != 1:
+        raise ValueError(f"uneven data-rows per process: {groups}")
+    mine = tuple(sorted(rows_by_proc[jax.process_index()]))
+    return groups.index(mine), len(groups)
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
@@ -73,6 +105,25 @@ def replicate_tree(tree, mesh: Mesh):
                 rep, np.asarray(x)), tree
         )
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), tree)
+
+
+def place_tree(tree, shardings):
+    """Place a host tree onto (possibly non-addressable) mesh devices.
+
+    `shardings` is a matching pytree of NamedShardings. Single-process this
+    is a device_put; multi-process it goes through make_array_from_callback,
+    which asks each process only for its addressable shards — the only valid
+    way to build a global array whose sharding spans processes (device_put
+    would raise, and make_array_from_process_local_data expects pre-sliced
+    local views; here every process holds the identical full host value).
+    """
+    if jax.process_count() > 1:
+        def put(x, s):
+            x = np.asarray(x)
+            return jax.make_array_from_callback(
+                x.shape, s, lambda idx, _x=x: _x[idx])
+        return jax.tree_util.tree_map(put, tree, shardings)
+    return jax.tree_util.tree_map(jax.device_put, tree, shardings)
 
 
 def shard_batch(batch, mesh: Mesh):

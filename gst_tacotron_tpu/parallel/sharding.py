@@ -81,6 +81,36 @@ def shard_params(params: Any, mesh: Mesh) -> Any:
     return jax.tree_util.tree_map(jax.device_put, params, shardings)
 
 
+def state_shardings(state: Any, mesh: Mesh) -> Any:
+    """NamedSharding pytree for a TrainState: params per the TP rules, Adam
+    moments (mu/nu mirror the param tree) sharded identically so the donated
+    step's output shardings match its inputs, everything else replicated."""
+    rep = NamedSharding(mesh, P())
+    pshard = param_shardings(state.params, mesh)
+
+    def opt_entry(s):
+        base = jax.tree_util.tree_map(lambda _: rep, s)
+        if hasattr(s, "mu") and hasattr(s, "nu"):
+            return base._replace(mu=pshard, nu=pshard)
+        return base
+
+    opt = state.opt_state
+    opt_sh = (tuple(opt_entry(s) for s in opt)
+              if isinstance(opt, tuple) else opt_entry(opt))
+    sh = jax.tree_util.tree_map(lambda _: rep, state)
+    return sh.replace(params=pshard, opt_state=opt_sh)
+
+
+def place_state(state: Any, mesh: Mesh) -> Any:
+    """Place a TrainState onto a (possibly multi-process) mesh: TP-sharded
+    params + matching optimizer moments, replicated rest. The host values
+    must be identical on every process (init is deterministic per seed and
+    orbax restore is coordinated), exactly as replicate_tree assumes."""
+    from .mesh import place_tree
+
+    return place_tree(jax.device_get(state), state_shardings(state, mesh))
+
+
 def describe_sharding(params: Any) -> Dict[str, str]:
     """Human-readable {path: spec} map for the sharded params (debugging)."""
     flat = _flatten_paths(params)

@@ -309,10 +309,16 @@ class Trainer:
                     f"but the training config has {ours}; regenerate patterns "
                     "or align the config"
                 )
-        num_shards = jax.process_count()
+        if mesh is not None:
+            # mesh-aware: with cross-process TP the model axis spans
+            # processes and several ranks must load the SAME batch slice
+            from .parallel import process_data_shard
+            shard_index, num_shards = process_data_shard(mesh)
+        else:
+            shard_index, num_shards = jax.process_index(), jax.process_count()
         self.loader = BucketedLoader(
             self.dataset, cfg.data, cfg.model.decoder.reduction_factor,
-            shard_index=jax.process_index(), num_shards=num_shards,
+            shard_index=shard_index, num_shards=num_shards,
             seed=cfg.train.seed, audio_cfg=cfg.audio,
         )
         # Held-out eval loader (SURVEY.md §4 — the reference has no eval set;
@@ -321,7 +327,7 @@ class Trainer:
         if cfg.data.val_fraction > 0.0:
             val = BucketedLoader(
                 self.dataset, cfg.data, cfg.model.decoder.reduction_factor,
-                shard_index=jax.process_index(), num_shards=num_shards,
+                shard_index=shard_index, num_shards=num_shards,
                 seed=cfg.train.seed, split="val", drop_remainder=False,
                 audio_cfg=cfg.audio,
             )
@@ -357,13 +363,27 @@ class Trainer:
         self.model, self.state = init_state(
             cfg, jax.random.PRNGKey(cfg.train.seed), sample
         )
-        if mesh is not None and jax.process_count() > 1:
-            # multi-process: the freshly-initialized (process-local) state
-            # must become a global replicated jax.Array before the sharded
-            # step can consume it (init is deterministic per seed, so every
-            # process holds identical values)
-            from .parallel import replicate_tree
-            self.state = replicate_tree(self.state, mesh)
+        self._placed = (mesh is not None
+                        and (jax.process_count() > 1
+                             or dict(mesh.shape).get("model", 1) > 1))
+        if self._placed:
+            # Place the freshly-initialized state onto the mesh as global
+            # jax.Arrays: params (+ Adam moments) per the TP rules, the rest
+            # replicated. Multi-process init is deterministic per seed, so
+            # every process holds identical host values. This is also where
+            # single-process TP runs get their params ACTUALLY sharded over
+            # `model` (r4 trainers replicated them).
+            from .parallel import place_state
+            self.state = place_state(self.state, mesh)
+            if dict(mesh.shape).get("model", 1) > 1:
+                from .parallel import describe_sharding
+                tp = {k: v for k, v in
+                      describe_sharding(self.state.params).items()
+                      if "model" in v}
+                head = "; ".join(f"{k} -> {v}"
+                                 for k, v in list(tp.items())[:3])
+                print(f"[trainer] tensor-parallel: {len(tp)} param kernels "
+                      f"sharded over 'model' ({head}; ...)")
         self.tx = make_optimizer(cfg.optimizer)
         self.step_fn = make_train_step(self.model, self.tx, cfg, mesh)
         self.corpus = None
@@ -459,11 +479,10 @@ class Trainer:
         step = self.ckpt.latest_step()
         if step is None:
             return False
+        # the template already carries the mesh placement (TP params /
+        # replicated rest as global arrays when self._placed) — orbax
+        # StandardRestore lands shards on the template's devices directly
         self.state = self.ckpt.restore(self.state, step)
-        if self.mesh is not None and jax.process_count() > 1:
-            from .parallel import replicate_tree
-            self.state = replicate_tree(
-                jax.device_get(self.state), self.mesh)
         return True
 
     def _device_batch(self, batch):

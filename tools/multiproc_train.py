@@ -94,7 +94,7 @@ def make_corpus_and_config(root: str) -> tuple:
 
 
 def run_cli(workdir, pattern_dir, cfg_path, steps, devices_per_proc,
-            rank=None, num_processes=None):
+            rank=None, num_processes=None, model_parallelism=1):
     """One training process through the PRODUCTION CLI (train.main)."""
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
@@ -108,6 +108,8 @@ def run_cli(workdir, pattern_dir, cfg_path, steps, devices_per_proc,
         "--config", cfg_path, "--patterns", pattern_dir,
         "--workdir", workdir, "--steps", str(steps),
     ]
+    if model_parallelism > 1:
+        cmd += ["--model-parallelism", str(model_parallelism)]
     if num_processes is not None:
         # pin each rank to disjoint cores: Gloo busy-polls its sockets, and
         # unpinned ranks thrash each other on this 4-core host (measured
@@ -133,10 +135,126 @@ def read_losses(workdir):
     return out
 
 
+def run_mode(root, pattern_dir, cfg_path, steps, mode):
+    """One parity experiment: run A (1 process, 2 virtual devices) vs run B
+    (2 processes x 1 device, same 2-device global mesh, collectives over
+    Gloo). mode selects which axis spans the two devices:
+
+      * "dp": mesh (data=2, model=1) — every GRADIENT psum crosses the
+        process boundary in run B (the r4 experiment).
+      * "tp": mesh (data=1, model=2) — the TENSOR-PARALLEL collectives
+        (style-token attention / decoder-projection / embedding matmuls
+        sharded over `model`, plus the psums GSPMD inserts for their
+        activations and gradients) cross the process boundary in run B;
+        both ranks load the identical replicated global batch
+        (parallel.process_data_shard). This was the one SURVEY §2.3 path
+        with zero executed evidence through round 4 (VERDICT r4 item 5).
+
+    1 device per process is the configuration where EVERY collective of the
+    axis under test crosses a process boundary, and the cheap one: Gloo's
+    per-step cost scales hard with participant count on this 4-core host
+    (measured 6.7 s/step at 2x1 vs 21.6 s/step at 2x2, r4).
+    """
+    import numpy as np
+
+    mp = 2 if mode == "tp" else 1
+    section = {"mode": mode, "model_parallelism": mp,
+               "mesh": "(data=1, model=2)" if mode == "tp"
+                       else "(data=2, model=1)"}
+
+    # ---- run A: single process, 2 virtual devices ---------------------------
+    w1 = os.path.join(root, f"{mode}_single")
+    t0 = time.time()
+    pa = run_cli(w1, pattern_dir, cfg_path, steps, devices_per_proc=2,
+                 model_parallelism=mp)
+    out_a, _ = pa.communicate(timeout=7200)
+    section["single_process"] = {
+        "rc": pa.returncode, "wall_s": round(time.time() - t0, 1),
+        "devices": 2, "processes": 1,
+    }
+    print(f"[multiproc:{mode}] single-process run rc={pa.returncode} "
+          f"({section['single_process']['wall_s']}s)")
+    if pa.returncode != 0:
+        print(out_a[-4000:])
+        sys.exit(1)
+
+    # ---- run B: 2 processes x 1 device, same 2-way global mesh --------------
+    w2 = os.path.join(root, f"{mode}_multi")
+    t0 = time.time()
+    procs = [
+        run_cli(w2, pattern_dir, cfg_path, steps, devices_per_proc=1,
+                rank=r, num_processes=2, model_parallelism=mp)
+        for r in range(2)
+    ]
+    outs = []
+    for r, proc in enumerate(procs):
+        out, _ = proc.communicate(timeout=7200)
+        outs.append(out)
+    section["two_process"] = {
+        "rc": [p.returncode for p in procs],
+        "wall_s": round(time.time() - t0, 1),
+        "devices": 2, "processes": 2, "devices_per_process": 1,
+        "coordinator": f"127.0.0.1:{PORT}",
+    }
+    print(f"[multiproc:{mode}] 2-process run rcs={section['two_process']['rc']} "
+          f"({section['two_process']['wall_s']}s)")
+    if any(p.returncode != 0 for p in procs):
+        for r, out in enumerate(outs):
+            print(f"--- rank {r} tail ---\n{out[-4000:]}")
+        sys.exit(1)
+
+    # ---- parity ------------------------------------------------------------
+    la, lb = read_losses(w1), read_losses(w2)
+    steps_seen = sorted(set(la) & set(lb))
+    assert len(steps_seen) >= steps - 1, (len(la), len(lb))
+    a = np.array([la[s] for s in steps_seen])
+    b = np.array([lb[s] for s in steps_seen])
+    rel = np.abs(a - b) / np.maximum(np.abs(a), 1e-9)
+    section["loss_parity"] = {
+        "compared_steps": len(steps_seen),
+        "max_rel_diff": float(rel.max()),
+        "mean_rel_diff": float(rel.mean()),
+        "first_step_loss": [float(a[0]), float(b[0])],
+        "last_step_loss": [float(a[-1]), float(b[-1])],
+        "loss_decreased": bool(a[-1] < a[0] and b[-1] < b[0]),
+    }
+    # measured 2.7e-7 max on the first executed run; 1e-4 leaves margin for
+    # reduction-order noise while still proving step-for-step equivalence
+    section["parity_ok"] = bool(rel.max() < 1e-4)
+    # gloo log lines prove collectives actually crossed the process boundary
+    gloo = [l for l in outs[0].splitlines() if "Gloo" in l][:4]
+    section["gloo_evidence_rank0"] = gloo
+
+    if mode == "tp":
+        # prove the params were actually TP-sharded in run B: the trainer
+        # prints the describe_sharding summary lines (see train.py)
+        tp_lines = [l for l in outs[0].splitlines() if "model" in l
+                    and "shard" in l.lower()][:4]
+        section["tp_sharding_evidence_rank0"] = tp_lines
+
+    # checkpoint written cooperatively into the SHARED workdir
+    ckpt_dir = os.path.join(w2, "checkpoints")
+    section["shared_checkpoint"] = {
+        "dir": ckpt_dir,
+        "steps": sorted(
+            int(d) for d in os.listdir(ckpt_dir) if d.isdigit()
+        ) if os.path.isdir(ckpt_dir) else [],
+    }
+    # this sandbox's XLA:CPU spews multi-KB AOT host-feature warnings that
+    # would otherwise be the entire tail — filter before excerpting
+    section["rank0_tail"] = [
+        l for l in outs[0].splitlines()
+        if "cpu_aot_loader" not in l and "machine features" not in l
+    ][-20:]
+    return section
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=100)
-    p.add_argument("--out", default=os.path.join(REPO, "MULTIPROC_r04.log"))
+    p.add_argument("--modes", default="dp,tp",
+                   help="comma list of parity experiments to run (dp, tp)")
+    p.add_argument("--out", default=os.path.join(REPO, "MULTIPROC_r05.log"))
     p.add_argument("--keep-root", help="work root (default: a tmp dir)")
     args = p.parse_args()
 
@@ -152,104 +270,26 @@ def main():
         "global_batch": TINY["data.batch_size"],
         "backend": "cpu (XLA host platform), cross-process collectives via "
                    "Gloo through jax.distributed",
+        "sections": [],
     }
+    ok = True
+    for mode in args.modes.split(","):
+        section = run_mode(root, pattern_dir, cfg_path, args.steps,
+                           mode.strip())
+        report["sections"].append(section)
+        ok = ok and section["parity_ok"]
+        print(f"[multiproc:{mode}] parity_ok={section['parity_ok']} "
+              f"max_rel_diff={section['loss_parity']['max_rel_diff']:.2e}")
 
-    # Mesh width 2 (1 device per process): Gloo's per-step collective cost
-    # scales hard with participant count on this 4-core host — measured
-    # steady-state 6.7 s/step at 2 procs x 1 dev vs 21.6 s/step at
-    # 2 x 2 (pinned or not; the cost is collective latency, not core
-    # contention — unpinned 2 x 2 also measured ~23 s/step on a quiet box).
-    # 1 device per process is also the configuration where EVERY gradient
-    # psum crosses the process boundary, which is exactly the path under
-    # test; the only gloo alternative (jax_cpu_collectives_implementation
-    # "mpi") has no MPI runtime in this sandbox.
-    # ---- run A: single process, 2 virtual devices ---------------------------
-    w1 = os.path.join(root, "single")
-    t0 = time.time()
-    pa = run_cli(w1, pattern_dir, cfg_path, args.steps, devices_per_proc=2)
-    out_a, _ = pa.communicate(timeout=7200)
-    report["single_process"] = {
-        "rc": pa.returncode, "wall_s": round(time.time() - t0, 1),
-        "devices": 2, "processes": 1,
-    }
-    print(f"[multiproc] single-process run rc={pa.returncode} "
-          f"({report['single_process']['wall_s']}s)")
-    if pa.returncode != 0:
-        print(out_a[-4000:])
-        sys.exit(1)
-
-    # ---- run B: 2 processes x 1 device, same 2-way global mesh --------------
-    w2 = os.path.join(root, "multi")
-    t0 = time.time()
-    procs = [
-        run_cli(w2, pattern_dir, cfg_path, args.steps, devices_per_proc=1,
-                rank=r, num_processes=2)
-        for r in range(2)
-    ]
-    outs = []
-    for r, proc in enumerate(procs):
-        out, _ = proc.communicate(timeout=7200)
-        outs.append(out)
-    report["two_process"] = {
-        "rc": [p.returncode for p in procs],
-        "wall_s": round(time.time() - t0, 1),
-        "devices": 2, "processes": 2, "devices_per_process": 1,
-        "coordinator": f"127.0.0.1:{PORT}",
-    }
-    print(f"[multiproc] 2-process run rcs={report['two_process']['rc']} "
-          f"({report['two_process']['wall_s']}s)")
-    if any(p.returncode != 0 for p in procs):
-        for r, out in enumerate(outs):
-            print(f"--- rank {r} tail ---\n{out[-4000:]}")
-        sys.exit(1)
-
-    # ---- parity ------------------------------------------------------------
-    import numpy as np
-
-    la, lb = read_losses(w1), read_losses(w2)
-    steps = sorted(set(la) & set(lb))
-    assert len(steps) >= args.steps - 1, (len(la), len(lb))
-    a = np.array([la[s] for s in steps])
-    b = np.array([lb[s] for s in steps])
-    rel = np.abs(a - b) / np.maximum(np.abs(a), 1e-9)
-    report["loss_parity"] = {
-        "compared_steps": len(steps),
-        "max_rel_diff": float(rel.max()),
-        "mean_rel_diff": float(rel.mean()),
-        "first_step_loss": [float(a[0]), float(b[0])],
-        "last_step_loss": [float(a[-1]), float(b[-1])],
-        "loss_decreased": bool(a[-1] < a[0] and b[-1] < b[0]),
-    }
-    # measured 2.7e-7 max on the first executed run; 1e-4 leaves margin for
-    # reduction-order noise while still proving step-for-step equivalence
-    ok = bool(rel.max() < 1e-4)
     report["parity_ok"] = ok
-    # gloo log lines prove collectives actually crossed the process boundary
-    gloo = [l for l in outs[0].splitlines() if "Gloo" in l][:4]
-    report["gloo_evidence_rank0"] = gloo
-
-    # checkpoint written cooperatively into the SHARED workdir
-    ckpt_dir = os.path.join(w2, "checkpoints")
-    report["shared_checkpoint"] = {
-        "dir": ckpt_dir,
-        "steps": sorted(
-            int(d) for d in os.listdir(ckpt_dir) if d.isdigit()
-        ) if os.path.isdir(ckpt_dir) else [],
-    }
-
-    # this sandbox's XLA:CPU spews multi-KB AOT host-feature warnings that
-    # would otherwise be the entire tail — filter before excerpting
-    rank0_lines = [l for l in outs[0].splitlines()
-                   if "cpu_aot_loader" not in l and "machine features" not in l]
     with open(args.out, "w") as f:
-        f.write("# MULTIPROC — real 2-process jax.distributed training run\n")
-        f.write("# (VERDICT r3 next-round item 1; SURVEY §2.3 comm backend)\n")
+        f.write("# MULTIPROC — real 2-process jax.distributed training runs\n")
+        f.write("# dp: gradient psums cross the process boundary "
+                "(VERDICT r3 item 1)\n")
+        f.write("# tp: tensor-parallel collectives cross the process "
+                "boundary (VERDICT r4 item 5)\n")
         f.write(json.dumps(report, indent=2) + "\n")
-        f.write("\n## rank 0 output tail\n")
-        f.write("\n".join(rank0_lines[-30:]) + "\n")
-    print(f"[multiproc] parity_ok={ok} max_rel_diff="
-          f"{report['loss_parity']['max_rel_diff']:.2e}")
-    print(f"[multiproc] report -> {args.out}")
+    print(f"[multiproc] parity_ok={ok}; report -> {args.out}")
     if not args.keep_root:
         shutil.rmtree(root, ignore_errors=True)
     sys.exit(0 if ok else 2)

@@ -287,9 +287,15 @@ def main():
         "pallas_fixed_overhead_us": (2 * dt_p0 - dt_p1) * 1e6,
         "xla_scan_us_per_step_marginal": (dt_s1 - dt_s0) / (n1 - n0) * 1e6,
         "xla_scan_fixed_overhead_us": (2 * dt_s0 - dt_s1) * 1e6,
-        "marginal_speedup": (dt_s1 - dt_s0) / max(dt_p1 - dt_p0, 1e-12),
+        # a marginal within noise of zero makes the ratio meaningless —
+        # report it only when both deltas are resolvable (>=0.2 us/step)
+        "marginal_speedup": (
+            (dt_s1 - dt_s0) / (dt_p1 - dt_p0)
+            if min(dt_s1 - dt_s0, dt_p1 - dt_p0) / (n1 - n0) > 0.2e-6
+            else None),
         "note": "marginal = (t_2000 - t_1000)/1000; the long-decode floor "
-                "with fixed dispatch/setup removed",
+                "with fixed dispatch/setup removed; speedup omitted when "
+                "either marginal is below the 0.2 us/step noise floor",
     }
 
     # roofline: weights are VMEM-resident across the grid, so steady-state
@@ -592,8 +598,12 @@ def main():
             def body(i, a):
                 # non-hoistable elementwise modulation: the first conv layer
                 # is linear, so a scalar-additive perturbation would let XLA
-                # hoist it out of the loop (see the stft marginal comment)
-                x = mel_in * (1.0 + 1e-12 * jnp.cos(a + ramp))
+                # hoist it out of the loop; cos((1+a)*ramp) instead of
+                # cos(a+ramp) because angle-addition is rank-2 separable and
+                # the first (linear) conv could be hoisted the same way
+                # (CLAUDE.md #21 rule b — only the pre-ReLU prefix is at
+                # risk here, but keep the forms identical across rows)
+                x = mel_in * (1.0 + 1e-12 * jnp.cos((1.0 + a) * ramp))
                 if form == "flax":
                     emb = refenc.apply(
                         {"params": v["params"],
@@ -634,7 +644,7 @@ def main():
                 # same non-hoistable modulation as the f32 refenc loop
                 # (pallas_call is opaque to XLA, but keep the loop bodies
                 # identical so the rows stay comparable)
-                x = mel_in * (1.0 + 1e-12 * jnp.cos(a + ramp))
+                x = mel_in * (1.0 + 1e-12 * jnp.cos((1.0 + a) * ramp))
                 emb = ref_encoder_pallas(
                     v["params"], v["batch_stats"], cfg.model.gst,
                     x, batched=True, bf16=True)
