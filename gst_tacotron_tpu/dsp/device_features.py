@@ -49,11 +49,14 @@ class DeviceFeatureExtractor:
 
         Round-5 on-chip marginals ((8, 512-frame) batch, interleaved
         median-of-10-cycles, non-separable-modulation full-output checksum
-        — KERNEL_BENCH_r05 stft_marginal_us; the r3/r4 marginals were
-        checksum-DCE artifacts in XLA's favor, see CLAUDE.md #21):
-        resident kernel 101.6-107.7 us vs conv-fused XLA 108.5 us
-        (IQR ~±15 us: statistically tied, kernel median ahead) vs r4 fused
-        kernel 228 us. Outputs identical to 1.2e-7 on chip; on TPU both
+        — committed PROBE_STFT_r05.json + KERNEL_BENCH_r05
+        stft_marginal_us; the r3/r4 marginals were checksum-DCE/hoisting
+        artifacts in XLA's favor, see CLAUDE.md #21): resident-bf16 kernel
+        137.7 us IQR [132.1, 142.2] vs conv-fused XLA 133.6 us IQR
+        [126.7, 151.4] — statistically tied (an earlier probe session
+        measured 107.7 vs 108.5: same tie, ~±20% session drift) — vs r4
+        fused kernel 274 us. The first-party kernel holds the default on
+        the tie. Outputs identical to 1.2e-7 on chip; on TPU both
         kernel and XLA compute bf16-operand/f32-accumulate (the platform
         default precision — measured identical 0.373 quiet-bin dB error vs
         the CPU-f32 oracle for BOTH paths)."""

@@ -534,16 +534,30 @@ class Trainer:
                 self.logger.write(step, host_metrics, prefix="train")
                 t0, window = time.time(), 0
             if step % cfg.train.checkpoint_every == 0:
-                self.ckpt.save(step, jax.device_get(self.state))
+                self._save_ckpt(step)
             if step % cfg.train.eval_every == 0:
                 if self.eval_fn is not None:
                     self.run_eval(step)
                 if eval_fn is not None:
                     eval_fn(self, step)
         profiler.stop()
-        self.ckpt.save(int(self.state.step), jax.device_get(self.state))
+        self._save_ckpt(int(self.state.step))
         self.ckpt.wait()
         return self.state
+
+    def _save_ckpt(self, step: int) -> None:
+        """Async-safe checkpoint: the next step DONATES the state's buffers,
+        so an async orbax save must not read live device arrays. device_get
+        gives a host snapshot — except when a TP sharding spans processes
+        (cross-process model axis), where fetching is impossible; there,
+        save the global arrays directly and wait synchronously."""
+        try:
+            snap = jax.device_get(self.state)
+        except RuntimeError:
+            self.ckpt.save(step, self.state)
+            self.ckpt.wait()
+            return
+        self.ckpt.save(step, snap)
 
 
 def default_eval_hook(trainer: "Trainer", step: int) -> None:

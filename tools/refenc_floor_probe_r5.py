@@ -5,13 +5,20 @@ for (8, 256, 80) — 0.13x of its own 27.9 us bf16 design-FLOP compute floor.
 This probe attributes the remaining gap so the floor claim can be retired
 with data (the Bahdanau-mega-kernel treatment) or acted on:
 
-  * full_b8  — production form: batched-bf16 stack + Pallas GRU tail, B=8
-  * stack_b8 — the conv-stack kernel alone (no GRU, no glue)
-  * gru_b8   — the GRU tail alone on stack-shaped features (T'=4 steps)
-  * full_b32 — same production form at B=32: if the wall is LATENCY
-    (a ~18-deep dependent matmul chain: 3 phase matmuls x 6 layers, each
-    needing its predecessor), quadrupling the rows should barely move it;
-    if it is THROUGHPUT (compute/memory-bound), it should scale ~4x.
+  * full_b8   — production form: batched-bf16 stack + Pallas GRU tail, B=8
+  * stack_b8  — the conv-stack kernel alone (no GRU, no glue)
+  * gru_b8    — the GRU tail alone on stack-shaped features (T'=4 steps)
+  * xla_chain — the IDENTICAL computation (same phase matrices, same
+    stride-2 row phases, same bf16 operands, same 6-layer dependency
+    structure) written in plain XLA. If XLA's own scheduler lands at the
+    same wall, the kernel is at the structural latency floor of this
+    formulation and the remaining distance-to-compute-floor is the
+    dependent layer chain, not kernel inefficiency.
+
+(A full_b32 form was tried first: compiling the batched kernel at B=32
+kills the PJRT client outright — no Python traceback, exit 1 — the same
+B>=16 Mosaic-compile hazard family as the decode mega-kernel, CLAUDE.md
+#14. Batch scaling is therefore probed only through the XLA twin.)
 
 Methodology per CLAUDE.md #21 (all r5 rules): in-program fori_loop
 marginals, non-separable carry modulation `x*(1+1e-12*cos((1+a)*ramp))`,
@@ -44,9 +51,10 @@ def main():
     from gst_tacotron_tpu.models.gst import ReferenceEncoder
     from gst_tacotron_tpu.ops.gru_pallas import gru_scan_pallas
     from gst_tacotron_tpu.ops.refenc_pallas import (
+        _stride2_slice,
+        build_refenc_bmats,
         fold_bn,
         ref_encoder_pallas,
-        refenc_batched_vmem_ok,
         refenc_stack_pallas_batched,
     )
     from gst_tacotron_tpu.utils.flatten import FlatTree
@@ -59,10 +67,6 @@ def main():
 
     t_in, f_in = 256, cfg.model.num_mels
     mel8 = jnp.asarray(rng.random((8, t_in, f_in)), jnp.float32)
-    mel32 = jnp.asarray(rng.random((32, t_in, f_in)), jnp.float32)
-    if not refenc_batched_vmem_ok(32, t_in, f_in,
-                                  list(gst.ref_conv_channels)):
-        log("B=32 exceeds the kernel's scoped-VMEM plan; full_b32 skipped")
 
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
@@ -102,13 +106,47 @@ def main():
             g["recurrent_bias"].astype(jnp.float32))
         return final
 
+    def xla_chain(v, x):
+        """The batched kernel's exact computation in plain XLA: same phase
+        matrices (built traceably, loop-invariant — hoisted, like the
+        kernel's own M-build), same stride-2 phase slices, bf16 operands,
+        f32 accumulate, same ReLU/mask epilogues."""
+        p, bs = v["params"], v["batch_stats"]
+        kernels = [p[f"conv_{i}"]["kernel"] for i in range(n_layers)]
+        scales, biases = [], []
+        for i in range(n_layers):
+            sc, bi = fold_bn(p[f"bn_{i}"], bs[f"bn_{i}"])
+            scales.append(sc)
+            biases.append(bi)
+        mats, plan = build_refenc_bmats(kernels, scales, biases, t_in, f_in)
+        b = x.shape[0]
+        lp0 = plan[0]
+        xx = jnp.pad(x.astype(jnp.float32),
+                     ((0, 0), (0, lp0["hp_in"] - t_in),
+                      (0, lp0["wp_in"] - f_in)))
+        xx = xx.reshape(b * lp0["hp_in"], lp0["wp_in"])
+        for li, lp in enumerate(plan):
+            m0, m1, m2, sv, bv = mats[li]
+            xp = jnp.pad(xx, ((0, 8), (0, 0))).astype(jnp.bfloat16)
+            n_rows = b * lp["hp_out"]
+            acc = None
+            for di, m in enumerate((m0, m1, m2)):
+                rows = _stride2_slice(xp, di, n_rows, 0)
+                part = jnp.dot(rows, m.astype(xp.dtype),
+                               preferred_element_type=jnp.float32)
+                acc = part if acc is None else acc + part
+            y = jnp.maximum(acc * sv + bv, 0.0)
+            r_idx = jnp.arange(n_rows)[:, None]
+            pos = r_idx - (r_idx // lp["hp_out"]) * lp["hp_out"]
+            xx = y * (pos < lp["h_out"]).astype(jnp.float32)
+        return xx
+
     forms = {
         "full_b8": (mel8, lambda v, x: ref_encoder_pallas(
             v["params"], v["batch_stats"], gst, x, batched=True, bf16=True)),
         "stack_b8": (mel8, stack_only),
         "gru_b8": (feats8, gru_only),
-        "full_b32": (mel32, lambda v, x: ref_encoder_pallas(
-            v["params"], v["batch_stats"], gst, x, batched=True, bf16=True)),
+        "xla_chain_b8": (mel8, xla_chain),
     }
 
     def make_loop(inp, fn, n):
@@ -165,11 +203,11 @@ def main():
         log(f"=> {k}: median {med*1e6:.1f} us  "
             f"IQR [{q[0]*1e6:.1f}, {q[2]*1e6:.1f}]")
 
-    b32 = report["marginal_us"].get("full_b32")
-    b8 = report["marginal_us"]["full_b8"]
-    if b32:
-        report["b32_over_b8_wall_ratio"] = b32 / b8
-        report["b32_per_element_vs_b8"] = (b32 / 4.0) / b8
+    stack = report["marginal_us"]["stack_b8"]
+    xchain = report["marginal_us"]["xla_chain_b8"]
+    report["kernel_stack_vs_xla_twin"] = stack / xchain
+    report["full_minus_stack_us"] = (report["marginal_us"]["full_b8"]
+                                     - stack)
     json.dump(report, sys.stdout, indent=1)
     print()
 
