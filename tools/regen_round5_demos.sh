@@ -19,6 +19,12 @@
 #
 # Usage:
 #   PYTHONPATH=.:/root/.axon_site bash tools/regen_round5_demos.sh
+#
+# DO NOT run under an outer `timeout`: if the deadline lands mid-remote-
+# compile the kill orphans the compile server-side and wedges the device
+# for its remaining duration (CLAUDE.md #8; happened once in r5 — the
+# bench steps were split into tools/finish_r5_benches.sh, which also
+# avoids config-3's mid-run checkpoint stall).
 set -uo pipefail
 cd "$(dirname "$0")/.."
 
@@ -62,10 +68,14 @@ python -m gst_tacotron_tpu.vocoder_train --preset gst_wavernn \
 # --- 4. Config-3 alignment stress (r=1, location-sensitive, NONLINEAR
 #        durations: tokens no longer map linearly to time, so diagonality
 #        < 1.0 is achievable and the metric can fail for real reasons) ------
+# checkpoint only at the end: the r=1 eval-synthesis program is huge, and
+# the first r5 attempt stalled >60 min in a post-eval checkpoint-interval
+# device fetch (ROUND5_NOTES.md); end-only saves avoid the window
 python -m gst_tacotron_tpu.train --preset gst_r1_location \
   --patterns "$WORK/patterns13k_nl" --workdir "$WORK/config3" \
   --steps "$STEPS_CONFIG3" \
-  $COMMON_DATA train.eval_every=2000 \
+  $COMMON_DATA train.eval_every=3000 \
+  "train.checkpoint_every=$STEPS_CONFIG3" \
   2>&1 | tee "$WORK/config3_train.log" | grep -E "trainer|loader|eval|[0-9]000 " || true
 
 # --- 5. Demo artifacts -------------------------------------------------------
